@@ -1,0 +1,97 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Bm25, ReferenceTfSum, Scorer}
+import graft.corpus.{CorpusGen, PageRow}
+import graft.index.IndexBuild
+import graft.queryengine.{SearchEngine, Statistics}
+
+/** spark-submit entry points for the engine (SURVEY.md §7 `app/`):
+  *
+  *   gen    <nSites> <pagesPerSite> <pagesDir>       — synthetic corpus
+  *   build  <pagesDir> <indexDir> [nBatches]          — full index build (resumable)
+  *   merge  <indexDir>                                — segment sort-merge
+  *   search <indexDir> <pagesDir> <tfsum|bm25> <query> [offset] [limit] [siteUrl]
+  *   stats  <indexDir>                                — per-site statistics
+  *
+  * In-sandbox this runs on local[*]; on a cluster the same mains run
+  * unchanged under spark-submit (the session builder only sets master
+  * when none is provided).
+  */
+object GraftCli {
+  def main(args: Array[String]): Unit = {
+    val spark = {
+      val b = SparkSession.builder().appName("graft")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+        .config("spark.sql.session.timeZone", "UTC")
+      if (sys.props.get("spark.master").isEmpty && sys.env.get("MASTER").isEmpty)
+        b.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]")
+      b.getOrCreate()
+    }
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.Encoders
+
+    args.toList match {
+      case "gen" :: nSites :: perSite :: out :: Nil =>
+        val cfg = CorpusGen.Config(nSites.toInt, perSite.toInt)
+        CorpusGen.generate(spark, cfg).write.mode("overwrite").parquet(out)
+        println(s"wrote ${cfg.nDocs} pages to $out")
+
+      case "build" :: pagesDir :: indexDir :: rest =>
+        val cfg = rest match {
+          case n :: Nil => IndexBuild.Config(nBatches = n.toInt)
+          case _ => IndexBuild.Config()
+        }
+        val pages = spark.read.parquet(pagesDir).as[PageRow](Encoders.product[PageRow])
+        val t0 = System.nanoTime()
+        val built = IndexBuild.run(spark, pages, indexDir, cfg)
+        IndexBuild.mergeSegments(spark, indexDir)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val n = spark.read.parquet(s"$indexDir/stats").collect()(0).getAs[Long]("n_docs")
+        println(f"built $built batches, $n docs in $sec%.1f s (${n / sec}%.0f docs/s)")
+
+      case "merge" :: indexDir :: Nil =>
+        IndexBuild.mergeSegments(spark, indexDir)
+        println("merged")
+
+      case "search" :: indexDir :: pagesDir :: scorerName :: query :: rest =>
+        val scorer: Scorer = scorerName match {
+          case "bm25" => Bm25()
+          case "tfsum" => ReferenceTfSum
+          case other => sys.error(s"unknown scorer '$other' (use tfsum|bm25)")
+        }
+        val (offset, limit, site) = rest match {
+          case o :: l :: s :: Nil => (o.toInt, l.toInt, Some(s))
+          case o :: l :: Nil => (o.toInt, l.toInt, None)
+          case Nil => (0, 10, None)
+          case _ => sys.error("usage: search <indexDir> <pagesDir> <scorer> <query> [offset limit [siteUrl]]")
+        }
+        val engine = new SearchEngine(spark, indexDir, pagesDir, scorer)
+        val t0 = System.nanoTime()
+        val resp = engine.search(query, offset, limit, site)
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"query='$query' scorer=$scorerName matches=${resp.count} (${ms}%.0f ms)")
+        resp.data.zipWithIndex.foreach { case (item, i) =>
+          println(f"${i + offset + 1}%2d. ${item.relevance}%.6f ${item.site}${item.uri}  «${item.title}»")
+          println(s"      ${item.snippet.take(120)}")
+        }
+
+      case "stats" :: indexDir :: Nil =>
+        Statistics.compute(spark, indexDir).show(50, truncate = false)
+
+      case other =>
+        System.err.println(
+          s"""unknown args: ${other.mkString(" ")}
+             |usage:
+             |  gen <nSites> <pagesPerSite> <pagesDir>
+             |  build <pagesDir> <indexDir> [nBatches]
+             |  merge <indexDir>
+             |  search <indexDir> <pagesDir> <tfsum|bm25> <query> [offset limit [siteUrl]]
+             |  stats <indexDir>""".stripMargin)
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

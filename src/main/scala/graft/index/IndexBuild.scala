@@ -1,0 +1,298 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Lemmatizer, PostingCodec}
+import graft.corpus.PageRow
+
+/** Logical posting row (reference `index_t`: lemma_id→page_id→rating;
+  * IndexEntity.java:9-27). dl = doc token count, carried into the encoded
+  * posting so BM25 is computable segment-locally at any scale (no
+  * doc-table broadcast on the query path). */
+final case class PostingRow(term: String, doc_id: Long, tf: Long, dl: Long)
+
+/** Doc dimension (reference `page`, Page.java:10-34): doc_id = xxhash64(url). */
+final case class DocRow(doc_id: Long, url: String, site: String, lang: String, dl: Long)
+
+/** Physical posting segment: delta+varint-encoded sorted run of one
+  * (term, shard); `bucket` is the storage partition column used for
+  * term-level partition pruning at query time (SURVEY.md §1.3).
+  * shard == -1 ⇔ the term is unsalted (tail term, one segment per batch);
+  * shard ∈ [0, shards) ⇔ salted head term, doc-hash sharded. */
+final case class SegmentRow(
+    bucket: Int, term: String, shard: Int, part_id: Int,
+    doc_count: Int, block_max: Double, postings: Array[Byte])
+
+/** Index build: pages → postings → lemma_stats / docs / segments / lineage.
+  *
+  * Spark-first rebuild of the reference's crawl-then-lemmatize pipeline
+  * (ThreadIndexingManager.java:29-62, MorphologyServiceImpl.java:58-77):
+  * one typed `flatMap` per page replaces the per-page JDBC roundtrips; the
+  * single term-partitioning shuffle + per-partition sort replaces the
+  * mutable lemma-frequency merge (Lemma.java:39-53).
+  *
+  * Scale design (north_rule):
+  *  - head-term skew handled by salted repartitioning: terms with global
+  *    df > saltThreshold are split into `shards` doc-hash shards; the doc
+  *    shard function (pmod(xxhash64(doc_id), shards)) is SHARED by all
+  *    salted terms, so a conjunctive query evaluates shard-locally —
+  *    a doc's postings for every salted term land in the same shard
+  *    (SURVEY.md §7 H4);
+  *  - the salted/unsalted decision uses GLOBAL df (not per-batch) so a
+  *    term's sharding is identical across resumable batches;
+  *  - segments carry block-max metadata for WAND (PostingCodec);
+  *  - builds are resumable: the doc space is split into `nBatches` by
+  *    doc-id hash; each batch commits segments first, then a lineage row
+  *    as the commit point (SURVEY.md §7 H5); completed batches are
+  *    skipped on restart.
+  */
+object IndexBuild {
+
+  final case class Config(
+      shards: Int = 8, // doc-hash shards for salted head terms
+      saltThresholdDf: Long = 1000L, // global df above which a term is salted
+      nBatches: Int = 4, // resumable build batches
+      buckets: Int = 16) // term-hash storage partitions
+
+  /** pages → typed postings via one pass per doc (SURVEY.md §2.9):
+    * tokenize (F2/F4) + particle drop (F3) + lemmatize (U5) + tf count (A1).
+    * Emits one row per DISTINCT (doc, lemma) with its tf — the flatMap does
+    * the reference's in-memory per-page HashMap count
+    * (MorphologyServiceImpl.java:212-240) so the shuffle moves pre-combined
+    * rows, not raw tokens. */
+  def postings(pages: Dataset[PageRow]): Dataset[PostingRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(col("url"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (url, text) =>
+        val counts = Lemmatizer.lemmaCounts(text)
+        val dl = counts.valuesIterator.sum.toLong
+        val docId = stableDocId(url)
+        counts.iterator.map { case (term, tf) => PostingRow(term, docId, tf.toLong, dl) }
+      }
+  }
+
+  /** Deterministic 63-bit doc id from url: Catalyst's xxhash64(url)
+    * (default seed 42) with the sign bit cleared — non-negative so the
+    * delta+varint codec's first delta is always encodable, and SQL-side
+    * joins can recompute it as `xxhash64(url) & Long.MaxValue` without
+    * carrying the docs dim. Collision odds at 10^12 docs ≈ 5e-5 per pair
+    * set (birthday, 2^63); the build asserts uniqueness. */
+  def stableDocId(url: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(url),
+      org.apache.spark.sql.types.StringType, 42L) & Long.MaxValue
+
+  /** Doc-hash shard of a doc id — MUST match the build-side expression
+    * pmod(xxhash64(doc_id), shards) (query-side WAND re-derives it). */
+  def shardOf(docId: Long, shards: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      docId, org.apache.spark.sql.types.LongType, 42L)
+    (((h % shards) + shards) % shards).toInt
+  }
+
+  /** Docs dimension; used for presentation joins and statistics. */
+  def docs(pages: Dataset[PageRow]): Dataset[DocRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("url"), col("text"), col("lang")).as[(String, String, String)]
+      .map { case (url, text, lang) =>
+        val counts = Lemmatizer.lemmaCounts(text)
+        DocRow(stableDocId(url), url, siteOf(url), lang, counts.valuesIterator.sum.toLong)
+      }
+  }
+
+  /** Site key from url (reference LinkToolsBox.extractRootDomain,
+    * LinkToolsBox.java:43-60). */
+  def siteOf(url: String): String = {
+    val i = url.indexOf("://")
+    val rest = if (i >= 0) url.substring(i + 3) else url
+    val j = rest.indexOf('/')
+    if (j >= 0) rest.substring(0, j) else rest
+  }
+
+  /** lemma_stats: per-site df (reference `lemma.frequency` = per-site
+    * document frequency, MorphologyServiceImpl.java:96-99; exact count,
+    * NOT approximate — the 80% pruning rule reads it, F5). Postings are
+    * already distinct per (term, doc), so df = row count. */
+  def lemmaStats(post: Dataset[PostingRow], docsDim: DataFrame): DataFrame = {
+    post.toDF
+      .join(docsDim.select("doc_id", "site"), Seq("doc_id"))
+      .groupBy("term", "site")
+      .agg(count(lit(1)).as("df"))
+  }
+
+  /** Build encoded segments from postings, given the globally-decided
+    * salted head-term set.
+    *
+    * Physical plan: ONE shuffle — `repartition(term, shard)` — then a
+    * partition-local sort and a streaming encode pass; no driver
+    * collection anywhere. */
+  def buildSegments(
+      post: Dataset[PostingRow],
+      headTerms: DataFrame, // single column `term`
+      cfg: Config,
+      numPartitions: Int): Dataset[SegmentRow] = {
+    val spark = post.sparkSession
+    import spark.implicits._
+
+    val salted = post.toDF
+      .join(broadcast(headTerms).withColumn("is_head", lit(true)), Seq("term"), "left")
+      .withColumn("shard",
+        when(col("is_head"), pmod(xxhash64(col("doc_id")), lit(cfg.shards)).cast("int"))
+          .otherwise(lit(-1)))
+      .select("term", "shard", "doc_id", "tf", "dl")
+
+    val buckets = cfg.buckets
+    salted
+      .repartition(numPartitions, col("term"), col("shard"))
+      .sortWithinPartitions("term", "shard", "doc_id")
+      .as[(String, Int, Long, Long, Long)]
+      .mapPartitions { it =>
+        val partId = TaskContext.getPartitionId()
+        new Iterator[SegmentRow] {
+          private val buf = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
+          private var curTerm: String = null
+          private var curShard: Int = 0
+
+          private def emit(): SegmentRow = {
+            val arr = buf.toArray
+            buf.clear()
+            SegmentRow(
+              bucket = termBucket(curTerm, buckets),
+              term = curTerm, shard = curShard, part_id = partId,
+              doc_count = arr.length,
+              block_max = if (arr.isEmpty) 0.0 else arr.map(_.tf).max.toDouble,
+              postings = PostingCodec.encode(arr))
+          }
+
+          override def hasNext: Boolean = it.hasNext || buf.nonEmpty
+
+          override def next(): SegmentRow = {
+            while (it.hasNext) {
+              val (term, shard, docId, tf, dl) = it.next()
+              if (curTerm == null) { curTerm = term; curShard = shard }
+              if (term != curTerm || shard != curShard) {
+                val r = emit()
+                curTerm = term; curShard = shard
+                buf += PostingCodec.Posting(docId, tf, dl)
+                return r
+              }
+              buf += PostingCodec.Posting(docId, tf, dl)
+            }
+            if (buf.nonEmpty) emit()
+            else throw new NoSuchElementException("empty partition")
+          }
+        }
+      }
+  }
+
+  def termBucket(term: String, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** Full resumable build to `outDir`:
+    * {docs, lemma_stats, stats, segments/batch=i/bucket=b, lineage}.
+    * Restart-safe: a batch whose lineage row says COMPLETE is skipped;
+    * lineage is appended only AFTER its segment write commits
+    * (SURVEY.md §7 H5). Returns the number of batches actually built. */
+  def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
+      cfg: Config = Config(), stopAfter: Int = Int.MaxValue): Int = {
+    import spark.implicits._
+    val numPartitions = spark.sparkContext.defaultParallelism
+
+    val docsDim = docs(pages)
+    docsDim.write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+    val docsDf = spark.read.parquet(s"$outDir/docs")
+    val dups = docsDf.agg((count(lit(1)) - countDistinct(col("doc_id"))).as("d"))
+      .collect()(0).getLong(0)
+    require(dups == 0L, s"doc_id hash collision or duplicate url: $dups")
+
+    val post = postings(pages)
+    lemmaStats(post, docsDf).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/lemma_stats")
+    val statsDf = spark.read.parquet(s"$outDir/lemma_stats")
+
+    // Global stats for BM25 (N, avgdl) + build config — one tiny row.
+    docsDf.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"),
+      sum(col("dl")).as("total_tokens"))
+      .withColumn("shards", lit(cfg.shards))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+
+    // Global salted-term decision — identical across batches/restarts.
+    val headTerms = statsDf.groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") > cfg.saltThresholdDf)
+      .select("term")
+    headTerms.write.mode(SaveMode.Overwrite).parquet(s"$outDir/head_terms")
+    val headDf = spark.read.parquet(s"$outDir/head_terms")
+
+    val done: Set[Int] = completedBatches(spark, outDir)
+    var built = 0
+    // `stopAfter` simulates a mid-build kill for the resume test (§5.7)
+    for (b <- 0 until cfg.nBatches if !done.contains(b) && built < stopAfter) {
+      val batchPost = post.filter(p =>
+        (((p.doc_id % cfg.nBatches) + cfg.nBatches) % cfg.nBatches).toInt == b)
+      val segs = buildSegments(batchPost, headDf, cfg, numPartitions)
+      segs.toDF.write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$outDir/segments/batch=$b")
+      // lineage LAST — the batch's commit point (north_rule).
+      val lin = spark.read.parquet(s"$outDir/segments/batch=$b")
+        .agg(
+          coalesce(sum(length(col("postings"))), lit(0L)).as("posting_bytes"),
+          countDistinct(col("term")).as("term_count"),
+          coalesce(sum(col("doc_count")), lit(0L)).as("posting_count"))
+        .select(
+          lit(b).as("partition_id"),
+          lit(s"doc_id % ${cfg.nBatches} == $b").as("doc_range"),
+          col("posting_bytes"), col("term_count"), col("posting_count"),
+          lit("COMPLETE").as("status"),
+          current_timestamp().as("ts"))
+      lin.write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+      built += 1
+    }
+    built
+  }
+
+  def completedBatches(spark: SparkSession, outDir: String): Set[Int] = {
+    import spark.implicits._
+    // first build: no lineage table yet — Spark surfaces the missing path
+    // as AnalysisException or (local fs) FileNotFoundException
+    try {
+      spark.read.parquet(s"$outDir/lineage")
+        .filter(col("status") === "COMPLETE")
+        .select("partition_id").as[Int].collect().toSet
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+  }
+
+  /** Segment merge: k-way sort-merge of per-batch segments of the same
+    * (term, shard) into one segment each (SURVEY.md §2.9) — grouped
+    * shuffle, streaming merge per group, written term-bucket-partitioned
+    * as the final `index`. */
+  def mergeSegments(spark: SparkSession, outDir: String): Unit = {
+    import spark.implicits._
+    val segs = spark.read.parquet(s"$outDir/segments")
+    segs.select("bucket", "term", "shard", "doc_count", "block_max", "postings")
+      .as[(Int, String, Int, Int, Double, Array[Byte])]
+      .groupByKey { case (bucket, term, shard, _, _, _) => (bucket, term, shard) }
+      .mapGroups { (key: (Int, String, Int), rows: Iterator[(Int, String, Int, Int, Double, Array[Byte])]) =>
+        val (bucket, term, shard) = key
+        val parts = rows.toSeq
+        SegmentRow(bucket, term, shard, 0,
+          parts.map(_._4).sum, parts.map(_._5).max,
+          PostingCodec.merge(parts.map(_._6)))
+      }
+      .toDF
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$outDir/index")
+  }
+}

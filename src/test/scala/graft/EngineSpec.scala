@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.corpus.{CorpusGen, PageRow}
+import graft.index.IndexBuild
+import graft.queryengine.{SearchEngine, Statistics}
+
+/** End-to-end engine vs reference-oracle rank-identity on the fixture
+  * corpus + query set (SURVEY.md §5; FIXTURES.md §4), plus the per-row
+  * html_to_text invariant, resume correctness and statistics. */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-engine-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val workDir: String = Files.createTempDirectory("graft-test").toString
+  val corpusCfg: CorpusGen.Config = CorpusGen.Config(nSites = 2, pagesPerSite = 250)
+  // low salt threshold so head terms ARE salted in the fixture (exercises
+  // shard-local conjunction); 3 batches exercise merge + resume.
+  val idxCfg: IndexBuild.Config =
+    IndexBuild.Config(shards = 4, saltThresholdDf = 120L, nBatches = 3, buckets = 16)
+
+  lazy val pagesPath = s"$workDir/pages"
+  lazy val indexDir = s"$workDir/idx"
+
+  lazy val built: Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val pages = CorpusGen.generate(spark, corpusCfg)
+    pages.write.mode("overwrite").parquet(pagesPath)
+    val ds = spark.read.parquet(pagesPath).as[PageRow](
+      org.apache.spark.sql.Encoders.product[PageRow])
+    IndexBuild.run(spark, ds, indexDir, idxCfg)
+    IndexBuild.mergeSegments(spark, indexDir)
+  }
+
+  lazy val oracle: RefOracle.Corpus = {
+    built
+    val rows = spark.read.parquet(pagesPath)
+      .select("url", "html").collect()
+    new RefOracle.Corpus(rows.toSeq.map { r =>
+      val url = r.getString(0)
+      RefOracle.Doc(url, IndexBuild.siteOf(url),
+        new String(r.getAs[Array[Byte]](1), java.nio.charset.StandardCharsets.UTF_8))
+    })
+  }
+
+  lazy val engineTf: SearchEngine = { built; new SearchEngine(spark, indexDir, pagesPath, ReferenceTfSum) }
+  lazy val engineBm: SearchEngine = { built; new SearchEngine(spark, indexDir, pagesPath, Bm25()) }
+
+  // FIXTURES.md §4 query set: forms drawn from the closed dictionary.
+  def commonForm: String = RuDict.formsOf(RuDict.contentLemmas(0))(1) // inflected head lemma
+  def midLemma: String = RuDict.contentLemmas(20)
+  def rareForm: String = RuDict.formsOf(RuDict.contentLemmas(60))(3)
+  def ultraRare1: String = RuDict.contentLemmas(190)
+  def ultraRare2: String = RuDict.contentLemmas(195)
+
+  lazy val queries: Seq[(String, Option[String])] = Seq(
+    (s"$commonForm $midLemma", None), // 2-word common+mid
+    (s"$commonForm $midLemma $rareForm", None), // 3-word
+    (s"есть $midLemma", None), // planted stop-lemma → pruned at 80%
+    (s"столами $commonForm", None), // OOV inflection → identity lemma, df=0 ⇒ empty
+    (rareForm, None), // single word, inflected
+    (s"$ultraRare1 $ultraRare2", None), // likely zero-result conjunction
+    (s"$commonForm $midLemma", Some("https://site1.test")), // site-scoped
+    ("the quick brown fox", None), // latin-only ⇒ zero lemmas
+    (s"и на $midLemma", None) // short particles destroyed by len filter
+  )
+
+  test("per-row invariant: html_to_text(html) == text, byte-identical per url (input_hint)") {
+    built
+    val bad = spark.read.parquet(pagesPath).collect().filterNot { r =>
+      val html = r.getAs[Array[Byte]](r.fieldIndex("html"))
+      HtmlText.cleanToText(html) == r.getAs[String]("text")
+    }
+    assert(bad.isEmpty, s"${bad.length} rows violate the cleaner invariant")
+  }
+
+  test("lemma_stats df matches the oracle per (term, site)") {
+    built
+    val got = spark.read.parquet(s"$indexDir/lemma_stats")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[String]("site")) -> r.getAs[Long]("df"))
+      .toMap
+    assert(got.size == oracle.dfBySite.size)
+    oracle.dfBySite.foreach { case (k, v) =>
+      assert(got.get(k).contains(v.toLong), s"df mismatch for $k: got ${got.get(k)}, want $v")
+    }
+  }
+
+  test("tf-sum ranking is rank-identical to the reference oracle on the query set") {
+    for ((q, site) <- queries) {
+      val exp = RefOracle.search(oracle, q, site.map(IndexBuild.siteOf), ReferenceTfSum)
+      val got = engineTf.search(q, 0, 50, site)
+      assert(got.count == exp.count.toLong, s"count mismatch for '$q' (site=$site)")
+      val gotUrls = got.data.map(i => i.site + i.uri)
+      val expUrls = exp.results.take(50).map(_.url)
+      assert(gotUrls == expUrls, s"ranking mismatch for '$q' (site=$site)")
+      got.data.zip(exp.results).foreach { case (g, e) =>
+        assert(math.abs(g.relevance - e.relevance) < 1e-12, s"relevance mismatch for '$q'")
+      }
+    }
+  }
+
+  test("BM25 (k1=1.2,b=0.75) ranking is rank-identical to the BM25 oracle") {
+    for ((q, site) <- queries) {
+      val exp = RefOracle.search(oracle, q, site.map(IndexBuild.siteOf), Bm25())
+      val got = engineBm.search(q, 0, 50, site)
+      assert(got.count == exp.count.toLong, s"count mismatch for '$q' (site=$site)")
+      val gotUrls = got.data.map(i => i.site + i.uri)
+      assert(gotUrls == exp.results.take(50).map(_.url), s"ranking mismatch for '$q'")
+      got.data.zip(exp.results).foreach { case (g, e) =>
+        assert(math.abs(g.relevance - e.relevance) < 1e-9, s"score mismatch for '$q'")
+      }
+    }
+  }
+
+  test("pagination + cache path: offset slice equals oracle slice; count is pre-slice total (O3, §7 H6)") {
+    val q = s"$commonForm $midLemma"
+    val exp = RefOracle.search(oracle, q, None, ReferenceTfSum)
+    val first = engineTf.search(q, 0, 10, None)
+    val second = engineTf.search(q, 10, 10, None) // served from the cache
+    assert(first.count == exp.count.toLong && second.count == exp.count.toLong)
+    assert(second.data.map(i => i.site + i.uri) ==
+      exp.results.slice(10, 20).map(_.url))
+  }
+
+  test("snippets: keyword wrapped in <b>, built from body text") {
+    val q = rareForm
+    val got = engineTf.search(q, 0, 5, None)
+    assert(got.data.nonEmpty)
+    got.data.foreach { item =>
+      assert(item.snippet.contains("<b>"), s"no highlight in '${item.snippet}'")
+      assert(item.title.nonEmpty)
+    }
+  }
+
+  test("pruned top-k (block-max WAND) returns the same scores as exact top-k") {
+    val qs = Seq(s"$commonForm $midLemma", rareForm, s"$commonForm $midLemma $rareForm")
+    for (q <- qs) {
+      val exact = engineBm.topK(q, 10, pruned = false).map(_._2)
+      val pruned = engineBm.topK(q, 10, pruned = true).map(_._2)
+      assert(pruned == exact, s"pruned/exact top-k scores differ for '$q'")
+    }
+  }
+
+  test("resume: interrupted build + restart yields a segment-identical index (§7 H5)") {
+    built
+    val dirB = s"$workDir/idx_resume"
+    val ds = spark.read.parquet(pagesPath).as[PageRow](
+      org.apache.spark.sql.Encoders.product[PageRow])
+    val first = IndexBuild.run(spark, ds, dirB, idxCfg, stopAfter = 1)
+    assert(first == 1)
+    assert(IndexBuild.completedBatches(spark, dirB) == Set(0))
+    val second = IndexBuild.run(spark, ds, dirB, idxCfg)
+    assert(second == idxCfg.nBatches - 1)
+    IndexBuild.mergeSegments(spark, dirB)
+
+    def indexMap(dir: String): Map[(String, Int), Seq[Byte]] =
+      spark.read.parquet(s"$dir/index").collect().map { r =>
+        (r.getAs[String]("term"), r.getAs[Int]("shard")) ->
+          r.getAs[Array[Byte]]("postings").toSeq
+      }.toMap
+    val a = indexMap(indexDir)
+    val b = indexMap(dirB)
+    assert(a.keySet == b.keySet)
+    a.keys.foreach(k => assert(a(k) == b(k), s"segment bytes differ for $k"))
+  }
+
+  test("statistics: per-site page and lemma counts (A7/A8)") {
+    built
+    val rows = Statistics.compute(spark, indexDir).collect()
+    assert(rows.map(_.getAs[Long]("pages")).sum == corpusCfg.nDocs)
+    assert(rows.length == corpusCfg.nSites)
+    rows.foreach(r => assert(r.getAs[Long]("lemmas") > 0))
+  }
+
+  test("salted head terms exist and shard-local conjunction still matches the oracle") {
+    built
+    val heads = spark.read.parquet(s"$indexDir/head_terms").collect().map(_.getString(0))
+    assert(heads.nonEmpty, "fixture should produce salted head terms")
+    // two salted-but-not-pruned head terms ⇒ multi-shard grouping with
+    // two salted cursors per shard (the hardest conjunction layout)
+    val usable = heads.filter(t => oracle.dfGlobal(t) * 100.0 / oracle.nDocs <= 80.0).sorted.take(2)
+    assert(usable.length == 2, s"need 2 salted unpruned terms, heads=${heads.toSeq}")
+    val q = usable.mkString(" ")
+    val exp = RefOracle.search(oracle, q, None, ReferenceTfSum)
+    val got = engineTf.search(q, 0, 50, None)
+    assert(got.count == exp.count.toLong)
+    assert(got.data.map(i => i.site + i.uri) == exp.results.take(50).map(_.url))
+  }
+}
