@@ -1,0 +1,452 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's operator inventory (SURVEY.md §2) re-expressed over the
+  * driver's `documents` / `embeddings` / `events` parquet tables, in forms
+  * that are ALSO expressible as ANSI SQL — every function here is paired
+  * with a DuckDB oracle query in [[graft.SparkEntry.oracleSql]] and
+  * verified value-identically by the driver.
+  *
+  * The text pipeline uses the Latin analyzer mode (SURVEY.md Analyzer):
+  * `lower → split [^a-z]+ → length ≥ 3` — the same tokenize/tf/df/BM25
+  * semantics as the Russian reference path, minus lemmatization (the
+  * closed Russian dictionary does not apply to the synthetic English
+  * corpus; lemmatization itself is oracle-tested in EngineSpec).
+  *
+  * All floating-point outputs are rounded to 6 dp on BOTH sides so the
+  * driver's value-hash comparison is robust to summation-order ulps.
+  */
+object DocOps {
+
+  val QueryTerms: Seq[String] = Seq("spark", "merge", "batch") // 'batch' df>80% ⇒ pruned
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** doc_id → tokens (F2/F4 Latin mode; one row per occurrence). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+
+  /** A1 — tf per (doc, term): the `index_t.rating` analogue. */
+  def tfPostings(spark: SparkSession, dir: String): DataFrame =
+    tokens(documents(spark, dir))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "term")
+
+  /** A2 — global document frequency per term (`lemma.frequency`). */
+  def dfGlobal(spark: SparkSession, dir: String): DataFrame =
+    tokens(documents(spark, dir))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy("term")
+
+  /** A2/F6 — per-source df (reference df is per-site). */
+  def dfBySource(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy("term", "source").agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy("term", "source")
+
+  /** Doc length (token count) — BM25's dl; zero-token docs kept (dl=0). */
+  def docLen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val dl = tokens(docs).groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    docs.select("doc_id").join(dl, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dl"))
+      .orderBy("doc_id")
+  }
+
+  /** F5 — stop-term pruning: terms on >80% of docs (the reference drops
+    * query lemmas with df/pageCount*100 > 80, SearchServiceImpl.java:329-344). */
+  def stopTerms80(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val n = docs.count()
+    dfGlobal(spark, dir)
+      .filter(col("df") * 100.0 / lit(n.toDouble) > 80.0)
+      .orderBy("term")
+  }
+
+  /** O1 — query-term execution order: surviving terms by (df ASC, term ASC). */
+  def rarestFirst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val n = docs.count()
+    dfGlobal(spark, dir)
+      .filter(col("term").isin(QueryTerms: _*))
+      .filter(col("df") * 100.0 / lit(n.toDouble) <= 80.0)
+      .orderBy("df", "term")
+  }
+
+  /** Surviving (unpruned) query terms as a local list — shared by the
+    * search pipelines; both sides apply the same 80% rule. */
+  private def survivingTerms(spark: SparkSession, dir: String): Seq[String] = {
+    import spark.implicits._
+    rarestFirst(spark, dir).select("term").as[String].collect().toSeq
+  }
+
+  /** J1/E1 — conjunctive posting intersection for the fixture query:
+    * docs containing ALL surviving terms. groupBy+count==n replaces the
+    * reference's O(n·m) List.contains loop (SearchServiceImpl.java:236-243). */
+  def conjunction(spark: SparkSession, dir: String): DataFrame = {
+    val terms = survivingTerms(spark, dir)
+    tokens(documents(spark, dir))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") === terms.size)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** A4 — absolute relevance per matching doc: Σ tf over query terms
+    * (SearchPageData.java:28-32). */
+  def tfsumScores(spark: SparkSession, dir: String): DataFrame = {
+    val terms = survivingTerms(spark, dir)
+    tokens(documents(spark, dir))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("nt"), count(lit(1)).as("abs_rel"))
+      .filter(col("nt") === terms.size)
+      .select(col("doc_id"), col("abs_rel").cast("double").as("abs_rel"))
+      .orderBy("doc_id")
+  }
+
+  /** A5/O2/O3 — normalized relevance (degenerate unpartitioned window max,
+    * SURVEY.md §2.5) + top-10 with pinned ties (rel DESC, doc_id ASC). */
+  def tfsumTop10(spark: SparkSession, dir: String): DataFrame =
+    tfsumScores(spark, dir)
+      .withColumn("rel", round(col("abs_rel") / max(col("abs_rel")).over(Window.partitionBy()), 6))
+      .select("doc_id", "rel")
+      .orderBy(desc("rel"), col("doc_id"))
+      .limit(10)
+
+  /** BM25 (k1=1.2, b=0.75) scores over the conjunctive candidates —
+    * the north_rule's primary ranking. Pure Catalyst: tf/df/dl/avgdl
+    * aggregations + one join; no UDFs. */
+  def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val n = docs.count().toDouble
+    val terms = survivingTerms(spark, dir)
+    val tok = tokens(docs).cache()
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = docs.select("doc_id").join(dl, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dl")).agg(avg("dl")).collect()(0).getDouble(0)
+    val dfT = tok.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cand = tf.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === terms.size).select("doc_id")
+    val idf = greatest(lit(0.0),
+      log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    tf.join(cand, Seq("doc_id"))
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("score_t",
+        idf * col("tf") * (Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id").agg(round(sum("score_t"), 6).as("score"))
+  }
+
+  /** North-rule headline: BM25 top-10, ties pinned (score DESC, doc_id ASC). */
+  def bm25Top10(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir).orderBy(desc("score"), col("doc_id")).limit(10)
+
+  /** O3 — pagination: rows 11..20 of the BM25 ranking; `offset` requires
+    * the full sort (reference slices the materialized list). */
+  def bm25Page2(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir).orderBy(desc("score"), col("doc_id"))
+      .offset(10).limit(10)
+
+  /** F6 — source-scoped tf-sum search (site scoping analogue). */
+  def tfsumScoped(spark: SparkSession, dir: String, source: String = "src3"): DataFrame = {
+    val docs = documents(spark, dir).filter(col("source") === source)
+    val scopedTok = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+    val nScoped = docs.count()
+    val dfScoped = scopedTok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    import spark.implicits._
+    val surviving = dfScoped.filter(col("term").isin(QueryTerms: _*))
+      .filter(col("df") * 100.0 / lit(nScoped.toDouble) <= 80.0)
+      .select("term").as[String].collect().toSeq
+    if (surviving.isEmpty)
+      return spark.emptyDataFrame.select() // not reached on fixture data
+    scopedTok.filter(col("term").isin(surviving: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("term")).as("nt"), count(lit(1)).as("abs_rel"))
+      .filter(col("nt") === surviving.size)
+      .withColumn("rel", round(col("abs_rel") / max(col("abs_rel")).over(Window.partitionBy()), 6))
+      .select("doc_id", "rel")
+      .orderBy(desc("rel"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** A7 — page counts per site (statistics endpoint). */
+  def statsPages(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("pages")).orderBy("source")
+
+  /** A8 — lemma (term) counts per site. */
+  def statsLemmas(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy("source").agg(countDistinct(col("term")).as("lemmas"))
+      .orderBy("source")
+
+  /** J4 — anti-join (the visited/dedup check): docs containing 'spark'
+    * but NOT 'dup'. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(documents(spark, dir))
+    val withSpark = tok.filter(col("term") === "spark").select("doc_id").distinct()
+    val withDup = tok.filter(col("term") === "dup").select("doc_id").distinct()
+    withSpark.join(withDup, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
+  /** J6/A3 — df merge across batches: split the corpus in two halves,
+    * union their per-half dfs, re-aggregate — must equal global df. */
+  def dfMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    def half(p: Column): DataFrame =
+      docs.filter(p)
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    half(col("doc_id") % 2 === 0).union(half(col("doc_id") % 2 === 1))
+      .groupBy("term").agg(sum("df").as("df"))
+      .orderBy("term")
+  }
+
+  /** E2 — set op: distinct (lang, source) pairs. */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select("lang", "source").distinct()
+      .orderBy("lang", "source")
+
+  // ───────────────────────── training-data pipeline ops ─────────────────
+
+  /** Exact dedup: hash-group on md5(text); emits groups with >1 member. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n") > 1)
+      .orderBy("h")
+
+  /** Word-trigram shingles per doc (distinct). Shared by n-gram Jaccard
+    * and MinHash. Spark: transform over index sequence (0-based). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        split(lower(col("text")), "[^a-z]+").as("arr"))
+      .withColumn("arr", filter(col("arr"), t => length(t) >= 1))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(arr) - 3), i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))")).as("sh"))
+      .distinct()
+
+  /** N-gram Jaccard near-dup pairs: self-join on shingle, Jaccard ≥ 0.3,
+    * pinned (a < b). The shuffle key is the shingle — at scale frequent
+    * shingles are the skew risk; production path uses MinHash LSH below
+    * to avoid the quadratic blowup. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val sh = shingles(documents(spark, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), Seq("a"))
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .withColumn("jaccard", round(col("common") / (col("sza") + col("szb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** MinHash signatures: 8 hash functions realized as the lexicographic
+    * MIN of md5(seed || ':' || shingle) — portable across engines (md5 is
+    * identical everywhere; lexicographic min of the hex digest is a valid
+    * uniform min-hash). */
+  def minhashSignatures(spark: SparkSession, dir: String, nHashes: Int = 8): DataFrame = {
+    val sh = shingles(documents(spark, dir))
+    val seeded = sh.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${nHashes - 1}), s -> s)")).as("seed"), col("sh"))
+    seeded
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")).cast("binary"))).as("sig"))
+      .orderBy("doc_id", "seed")
+  }
+
+  /** MinHash LSH candidate pairs: 4 bands × 2 rows; a pair is a candidate
+    * if any band's concatenated signature matches. The band join replaces
+    * the quadratic shingle self-join — this is the 100 TB dedup path. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir, 8)
+      .withColumn("band", expr("cast(floor(seed / 2) as int)"))
+    // deterministic band signature: sigs ordered by seed within the band
+    val bandsSorted = sigs.groupBy("doc_id", "band")
+      .agg(concat_ws("|", sort_array(collect_list(struct(col("seed"), col("sig")))).getField("sig")).as("bandsig"))
+    bandsSorted.as("x").join(bandsSorted.as("y"),
+        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  /** SimHash (16-bit, md5-nibble based): per-token hash bits are summed
+    * signed (+1/-1) over DISTINCT tokens; bit i set iff the sum > 0.
+    * Fully expressible in SQL on both engines. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(documents(spark, dir)).distinct()
+      .withColumn("h", md5(col("term").cast("binary")))
+    // nibble i of md5 hex → 4 bits; use first 4 nibbles = 16 bits
+    val withBits = tok.select(col("doc_id"), col("h"),
+      explode(expr("transform(sequence(0, 15), i -> i)")).as("bit"))
+      .withColumn("nibble",
+        expr("instr('0123456789abcdef', substr(h, cast(floor(bit / 4) as int) + 1, 1)) - 1"))
+      .withColumn("bitval",
+        when(expr("cast(floor(nibble / pow(2, 3 - bit % 4)) as int) % 2") === 1, 1).otherwise(-1))
+    withBits.groupBy("doc_id", "bit").agg(sum("bitval").as("s"))
+      .withColumn("bitset", when(col("s") > 0, 1L).otherwise(0L))
+      .withColumn("weight", expr("cast(pow(2, bit) as bigint)") * col("bitset"))
+      .groupBy("doc_id").agg(sum("weight").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine ANN, brute force (the baseline): top-5 neighbours of
+    * query vectors 0,1,2 by cosine, computed with codegen'd array
+    * higher-order functions — no UDF. */
+  def annCosineTop5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cos = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nq", expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("cosine", round(col("dot") / (col("nv") * col("nq")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
+    cos.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "rank", "vec_id", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  /** LSH-bucketed ANN (the scale path): random-hyperplane signatures via
+    * md5-derived pseudo-planes; neighbours searched only within the same
+    * bucket. Deterministic, no external randomness. */
+  def annLshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // plane p, dim i weight = (nibble of md5(p:i) - 7.5) — deterministic
+    val sig = emb.withColumn("sig", expr(
+      s"""transform(sequence(0, ${nPlanes - 1}, 1), p ->
+         |  case when aggregate(zip_with(v, transform(sequence(0, size(v) - 1, 1), i ->
+         |    instr('0123456789abcdef', substr(md5(cast(concat(cast(p as string), ':', cast(i as string)) as binary)), 1, 1)) - 8.5),
+         |    (x, w) -> x * w), 0D, (acc, x) -> acc + x) > 0 then 1 else 0 end)""".stripMargin))
+      .withColumn("bucket", expr("aggregate(zip_with(sig, sequence(0, size(sig) - 1, 1), (b, i) -> b * cast(pow(2, i) as int)), 0, (acc, x) -> acc + x)"))
+    sig.groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+  }
+
+  /** Language-ID heuristic: stopword-list hit counts per candidate
+    * language; predicted = argmax (ties → lang asc). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Map(
+      "en" -> Seq("the", "and", "for", "with"),
+      "de" -> Seq("der", "und", "die", "mit"),
+      "fr" -> Seq("les", "des", "une", "avec"),
+      "es" -> Seq("los", "las", "una", "con"))
+    val tok = tokens(documents(spark, dir))
+    val hits = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
+      tok.filter(col("term").isin(words: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .withColumn("lang", lit(lang))
+    }.reduce(_ union _)
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("hits"), col("lang"))
+    val pred = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("hits"))
+    documents(spark, dir).select("doc_id")
+      .join(pred, Seq("doc_id"), "left")
+      .na.fill("unk", Seq("pred_lang")).na.fill(0L, Seq("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Text-quality scoring: token count, distinct ratio, mean token length,
+    * stopword ratio, and a composite score. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopwords = Seq("the", "and", "for", "with", "los", "las", "der", "und", "les", "des")
+    val tok = tokens(documents(spark, dir))
+    val agg = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("term")).as("n_distinct"),
+      round(avg(length(col("term"))), 6).as("mean_len"),
+      round(sum(when(col("term").isin(stopwords: _*), 1).otherwise(0)) / count(lit(1)).cast("double"), 6).as("stop_ratio"))
+    documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens", "n_distinct")).na.fill(0.0, Seq("mean_len", "stop_ratio"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens") / 100.0) *
+          (col("n_distinct") / greatest(col("n_tokens").cast("double"), lit(1.0))), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 of the '|'-joined sorted distinct tokens —
+    * a canonical-content signature (token-order/whitespace invariant). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    tokens(documents(spark, dir)).distinct()
+      .groupBy("doc_id")
+      .agg(md5(concat_ws("|", sort_array(collect_list(col("term")))).cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Token counting (BPE-ish regex proxy): whitespace tokens vs subword
+    * chunks of ≤4 chars — the chunked count is Σ ceil(len/4). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    tokens(documents(spark, dir))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("ws_tokens"),
+        sum(ceil(length(col("term")) / 4.0)).cast("long").as("subword_tokens"))
+      .orderBy("doc_id")
+
+  // ───────────────────────────── events ops ─────────────────────────────
+
+  /** W — sessionization: 30-min-gap sessions per user via lag + running
+    * sum (the batch form of the streaming session-window). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_no")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("user_id", "sess_no")
+  }
+
+  /** Tumbling 1-hour window aggregation by event_type — the batch parity
+    * form of the Structured Streaming windowed agg (graft.streaming). */
+  def hourlyWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("v"))
+      .orderBy("hour", "event_type")
+}
