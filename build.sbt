@@ -30,5 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dsun.jnu.encoding=UTF-8",
   "-Dstdout.encoding=UTF-8",
   "-Dstderr.encoding=UTF-8",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = driver-only: the heap IS the cluster memory. 8g starves
+  // 32 concurrent tasks into GC thrash (local[32] benched SLOWER than
+  // local[8]); the box has 125g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

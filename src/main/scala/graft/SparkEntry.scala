@@ -58,7 +58,45 @@ object SparkEntry {
     "q29_ann_lsh_buckets" -> ((s, d) => DocOps.annLshBuckets(s, d)),
     // ── events (windowed/sessionized) ──
     "q27_sessionize" -> ((s, d) => DocOps.sessionize(s, d)), // §2.5-adjacent
-    "q28_hourly_window" -> ((s, d) => DocOps.hourlyWindow(s, d))
+    "q28_hourly_window" -> ((s, d) => DocOps.hourlyWindow(s, d)),
+    // ── multimodal binary-column plumbing (decode stub; SURVEY.md env) ──
+    "q30_media_decode" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Multimodal.decodeMeta(graft.ops.Multimodal.syntheticMedia(s, d))
+        .orderBy(col("media_id"))
+    }),
+    "q31_media_features" -> ((s, d) => { // rows-only (byte histograms)
+      import org.apache.spark.sql.functions._
+      graft.ops.Multimodal.extractFeatures(graft.ops.Multimodal.syntheticMedia(s, d))
+        .toDF.orderBy(col("media_id"))
+    }),
+    "q32_frame_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      graft.ops.Multimodal.sampleFrames(graft.ops.Multimodal.syntheticMedia(s, d), 4)
+        .map(f => (f.media_id, f.frame_no, f.frame_bytes.length.toLong))
+        .toDF("media_id", "frame_no", "frame_len")
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+    // ── Structured Streaming (driven synchronously; batch-parity oracles) ──
+    "q33_stream_hourly" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val st = graft.streaming.EventsStream
+      val q = st.runToMemory(s, st.hourlyCounts(st.readEvents(s, d)),
+        "q33_stream_hourly_mem", org.apache.spark.sql.streaming.OutputMode.Complete)
+      q.stop()
+      s.table("q33_stream_hourly_mem").orderBy(col("hour"), col("event_type"))
+    }),
+    "q34_stream_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val st = graft.streaming.EventsStream
+      val q = st.runToMemory(s, st.sessionize(s, st.readEvents(s, d)).toDF,
+        "q34_stream_sessions_mem")
+      q.stop()
+      s.table("q34_stream_sessions_mem")
+        .select(col("user_id"), col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("user_id"), col("n_events"), col("sum_value"))
+    })
   )
 
   // Shared DuckDB CTE prelude: the Latin-mode tokenizer (F2/F4).
@@ -351,6 +389,53 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS v
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q30_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       true AS decode_ok,
+        |       CAST(16 + doc_id % 64 AS INT) AS width,
+        |       CAST(16 + doc_id % 48 AS INT) AS height,
+        |       CAST(1000 + doc_id % 9000 AS INT) AS duration_ms,
+        |       true AS meta_consistent
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q32_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(g.f AS INT) AS frame_no,
+        |       CAST(floor((256 + doc_id % 1024) / 4) AS BIGINT) AS frame_len
+        |FROM documents CROSS JOIN generate_series(0, 3) g(f)
+        |WHERE doc_id % 3 = 2 ORDER BY media_id, frame_no""".stripMargin,
+
+    "q33_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS v
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q34_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM o
+        |), s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM m
+        |), sess AS (
+        |  SELECT user_id, sess_no, CAST(count(*) AS BIGINT) AS n_events,
+        |         round(sum(value), 6) AS sum_value
+        |  FROM s GROUP BY user_id, sess_no
+        |), last AS (
+        |  SELECT user_id, max(sess_no) AS m FROM sess GROUP BY user_id
+        |)
+        |SELECT sess.user_id, sess.n_events, sess.sum_value
+        |FROM sess JOIN last ON sess.user_id = last.user_id AND sess.sess_no < last.m
+        |ORDER BY sess.user_id, sess.n_events, sess.sum_value""".stripMargin,
 
     "q29_ann_lsh_buckets" ->
       """WITH e AS (

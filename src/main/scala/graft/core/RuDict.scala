@@ -132,4 +132,33 @@ object Lemmatizer extends Serializable {
     * the pure-Scala oracle and query analysis. */
   def lemmaCounts(text: String): Map[String, Int] =
     lemmas(text).groupBy(identity).map { case (k, v) => k -> v.length }
+
+  /** Index-build hot path: one char-scan pass, no intermediate token
+    * arrays — semantically identical to [[lemmaCounts]] on the corpus
+    * alphabet (asserted by LemmatizerEquivalenceSpec). The per-char
+    * lowercase+range check realizes the reference's
+    * `[^а-я\s] → space; split; len>2` pipeline directly. */
+  def lemmaCountsFast(text: String): Map[String, Int] = {
+    if (text == null || text.isEmpty) return Map.empty
+    val m = new scala.collection.mutable.AnyRefMap[String, Int]()
+    val sb = new java.lang.StringBuilder(24)
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      val lc = if (i < len) Character.toLowerCase(text.charAt(i)) else ' '
+      if (lc >= 'а' && lc <= 'я') sb.append(lc)
+      else {
+        if (sb.length() >= 3) {
+          val tok = sb.toString
+          RuDict.table.get(tok) match {
+            case Some(e) => if (!e.isParticle) m.update(e.lemma, m.getOrElse(e.lemma, 0) + 1)
+            case None => m.update(tok, m.getOrElse(tok, 0) + 1)
+          }
+        }
+        if (sb.length() > 0) sb.setLength(0)
+      }
+      i += 1
+    }
+    m.toMap
+  }
 }

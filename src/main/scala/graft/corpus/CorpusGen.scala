@@ -45,7 +45,10 @@ final case class PageRow(
   */
 object CorpusGen {
 
-  final case class Config(nSites: Int, pagesPerSite: Int, seed: Long = 42L) {
+  /** avgWords ≈ mean body length; the fixture default (80) keeps unit
+    * corpora small, the bench uses web-page-sized docs (~400 words). */
+  final case class Config(nSites: Int, pagesPerSite: Int, seed: Long = 42L,
+      avgWords: Int = 80) {
     def nDocs: Long = nSites.toLong * pagesPerSite
   }
 
@@ -135,7 +138,7 @@ object CorpusGen {
       // Plant «быть» on 95% of ru pages → corpus-wide df ≈ 85% > 80%.
       val plantStop = n % 20 != 0
       val titleWords = Seq.fill(3)(drawWord(rng, plantStop = false))
-      val nWords = 40 + rng.nextInt(80)
+      val nWords = cfg.avgWords / 2 + rng.nextInt(cfg.avgWords)
       val body = Seq.fill(nWords)(drawWord(rng, plantStop))
       val stopSeed = if (plantStop) Seq("был") else Seq.empty
       val allBody = stopSeed ++ body
@@ -175,10 +178,15 @@ object CorpusGen {
 
   /** Distributed generation: `spark.range` partitions the id space; each
     * task materializes its own rows — no driver-side data, scales to any
-    * nDocs. */
-  def generate(spark: SparkSession, cfg: Config): Dataset[PageRow] = {
+    * nDocs. Partition count defaults to max(cores, 64) so the parquet
+    * this produces has enough splits to feed a WIDER session later (a
+    * corpus written with 8 files caps every downstream scan at 8 tasks). */
+  def generate(spark: SparkSession, cfg: Config, numPartitions: Int = 0): Dataset[PageRow] = {
     import spark.implicits._
-    spark.range(0, cfg.nDocs, 1, spark.sparkContext.defaultParallelism)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(spark.sparkContext.defaultParallelism, 64)
+    spark.range(0, cfg.nDocs, 1, math.min(parts.toLong, math.max(1L, cfg.nDocs)).toInt)
       .map(i => pageAt(cfg, i))
   }
 }

@@ -50,6 +50,16 @@ final case class SegmentRow(
   */
 object IndexBuild {
 
+  /** Optional phase timing: set SPARK_GRAFT_PHASES=1 to print. */
+  private def phase[A](name: String)(f: => A): A = {
+    if (sys.env.contains("SPARK_GRAFT_PHASES")) {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"  [phase] $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      a
+    } else f
+  }
+
   final case class Config(
       shards: Int = 8, // doc-hash shards for salted head terms
       saltThresholdDf: Long = 1000L, // global df above which a term is salted
@@ -208,58 +218,102 @@ object IndexBuild {
     import spark.implicits._
     val numPartitions = spark.sparkContext.defaultParallelism
 
-    val docsDim = docs(pages)
-    docsDim.write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
-    val docsDf = spark.read.parquet(s"$outDir/docs")
-    val dups = docsDf.agg((count(lit(1)) - countDistinct(col("doc_id"))).as("d"))
-      .collect()(0).getLong(0)
-    require(dups == 0L, s"doc_id hash collision or duplicate url: $dups")
+    // ONE extract+lemmatize pass over the corpus, persisted (memory+disk
+    // spill) — docs, lemma_stats and every posting batch derive from it.
+    // Without this the batched loop re-analyzes the corpus per batch.
+    // Text comes from the RAW html via the engine's own cleaner — the
+    // reference's index path (stripHtml(page.getContent()),
+    // MorphologyServiceImpl.java:93) and the north_star's stage one; the
+    // corpus `text` column equals it byte-identically (input_hint
+    // invariant, asserted in EngineSpec), so downstream results are
+    // unchanged while the build does the honest extraction work.
+    val analyzed = pages.select(col("url"), col("html"), col("lang"))
+      .as[(String, Array[Byte], String)]
+      .map { case (url, html, lang) =>
+        val text = graft.core.HtmlText.cleanToTextFast(html)
+        val counts = Lemmatizer.lemmaCountsFast(text)
+        val dl = counts.valuesIterator.sum.toLong
+        (stableDocId(url), url, siteOf(url), lang, dl,
+          counts.map { case (k, v) => k -> v.toLong })
+      }
+      .toDF("doc_id", "url", "site", "lang", "dl", "terms")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the cache with a plain count FIRST: fusing the heavy
+    // extract+lemmatize map into the parquet-writer stage serializes
+    // ~2x worse (writer memory pressure) than cache-then-write.
+    phase("analyze")(analyzed.count())
 
-    val post = postings(pages)
-    lemmaStats(post, docsDf).write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/lemma_stats")
+    phase("docs write")(analyzed.select("doc_id", "url", "site", "lang", "dl")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs"))
+
+    val post = analyzed
+      .select(col("doc_id"), col("site"), col("dl"), explode(col("terms")).as(Seq("term", "tf")))
+
+    phase("lemma_stats write")(post.groupBy("term", "site").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lemma_stats"))
     val statsDf = spark.read.parquet(s"$outDir/lemma_stats")
 
     // Global stats for BM25 (N, avgdl) + build config — one tiny row.
-    docsDf.agg(
+    // The doc-id uniqueness check (hash-collision guard) rides the same
+    // aggregation, saving a full extra action.
+    val statsRow = analyzed.agg(
       count(lit(1)).as("n_docs"),
+      countDistinct(col("doc_id")).as("n_distinct"),
       avg(col("dl")).as("avgdl"),
       sum(col("dl")).as("total_tokens"))
       .withColumn("shards", lit(cfg.shards))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+    phase("stats write")(statsRow.write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats"))
+    val st = spark.read.parquet(s"$outDir/stats").collect()(0)
+    require(st.getAs[Long]("n_docs") == st.getAs[Long]("n_distinct"),
+      s"doc_id hash collision or duplicate url: " +
+        s"${st.getAs[Long]("n_docs") - st.getAs[Long]("n_distinct")}")
 
     // Global salted-term decision — identical across batches/restarts.
     val headTerms = statsDf.groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > cfg.saltThresholdDf)
       .select("term")
-    headTerms.write.mode(SaveMode.Overwrite).parquet(s"$outDir/head_terms")
+    phase("head_terms write")(headTerms.write.mode(SaveMode.Overwrite).parquet(s"$outDir/head_terms"))
     val headDf = spark.read.parquet(s"$outDir/head_terms")
 
+    val typedPost = post.select("term", "doc_id", "tf", "dl").as[PostingRow]
     val done: Set[Int] = completedBatches(spark, outDir)
     var built = 0
+    // Single-batch build: segments ARE the final index — write them
+    // straight to `index/` and let mergeSegments no-op (a 1-way "merge"
+    // would byte-copy every segment through an extra shuffle).
+    val singleBatch = cfg.nBatches == 1
     // `stopAfter` simulates a mid-build kill for the resume test (§5.7)
     for (b <- 0 until cfg.nBatches if !done.contains(b) && built < stopAfter) {
-      val batchPost = post.filter(p =>
-        (((p.doc_id % cfg.nBatches) + cfg.nBatches) % cfg.nBatches).toInt == b)
+      // doc_id is non-negative (sign bit cleared) so % is a safe batch key
+      val batchPost =
+        if (singleBatch) typedPost
+        else typedPost.filter(col("doc_id") % cfg.nBatches === b)
       val segs = buildSegments(batchPost, headDf, cfg, numPartitions)
-      segs.toDF.write.mode(SaveMode.Overwrite)
+      val segDir = if (singleBatch) s"$outDir/index" else s"$outDir/segments/batch=$b"
+      phase(s"segments write b=$b")(segs.toDF.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
-        .parquet(s"$outDir/segments/batch=$b")
+        .parquet(segDir))
       // lineage LAST — the batch's commit point (north_rule).
-      val lin = spark.read.parquet(s"$outDir/segments/batch=$b")
+      // posting_bytes from the filesystem (no data re-read); term/posting
+      // counts from a columnar agg that skips the bytes column.
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(segDir)).getLength
+      val lin = spark.read.parquet(segDir)
         .agg(
-          coalesce(sum(length(col("postings"))), lit(0L)).as("posting_bytes"),
           countDistinct(col("term")).as("term_count"),
           coalesce(sum(col("doc_count")), lit(0L)).as("posting_count"))
         .select(
           lit(b).as("partition_id"),
           lit(s"doc_id % ${cfg.nBatches} == $b").as("doc_range"),
-          col("posting_bytes"), col("term_count"), col("posting_count"),
+          lit(bytes).as("posting_bytes"),
+          col("term_count"), col("posting_count"),
           lit("COMPLETE").as("status"),
           current_timestamp().as("ts"))
-      lin.write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+      phase("lineage")(lin.write.mode(SaveMode.Append).parquet(s"$outDir/lineage"))
       built += 1
     }
+    analyzed.unpersist()
     built
   }
 
@@ -280,6 +334,9 @@ object IndexBuild {
     * as the final `index`. */
   def mergeSegments(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._
+    // single-batch builds write segments directly to index/ — nothing to merge
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/segments"))) return
     val segs = spark.read.parquet(s"$outDir/segments")
     segs.select("bucket", "term", "shard", "doc_count", "block_max", "postings")
       .as[(Int, String, Int, Int, Double, Array[Byte])]

@@ -49,7 +49,10 @@ final class SearchEngine(
 
   private val docsDf = spark.read.parquet(s"$indexDir/docs").cache()
   private val lemmaStatsDf = spark.read.parquet(s"$indexDir/lemma_stats").cache()
-  private val indexPath = s"$indexDir/index"
+  // Warm-engine cache of the merged index. In-sandbox the whole index fits
+  // in memory; on a 100 TB corpus this would be uncached parquet reads with
+  // bucket partition pruning + executor page cache instead.
+  private val segmentsDf = spark.read.parquet(s"$indexDir/index").cache()
 
   /** Head (salted) terms — tiny by construction (df > threshold). */
   private val headTerms: Set[String] =
@@ -184,36 +187,45 @@ final class SearchEngine(
       exact: Boolean): (Array[Wand.Hit], Long) = {
 
     val buckets = ordered.map(IndexBuild.termBucket(_, bucketCount)).distinct
-    val segs = spark.read.parquet(indexPath)
+    val segs = segmentsDf
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(ordered: _*))
       .select("term", "shard", "postings")
       .as[(String, Int, Array[Byte])]
 
     val anySalted = ordered.exists(headTerms.contains)
     val s = shards
-    val grouped =
-      if (!anySalted) segs.map(r => (0, r._1, r._3))
-      else segs.flatMap { case (t, sh, bytes) =>
-        if (sh < 0) (0 until s).map(g => (g, t, bytes)) else Seq((sh, t, bytes))
-      }
-
     val termsArr = ordered.toArray
     val dfArr = termsArr.map(dfMap)
     val (n, ad, sc) = (nDocs, avgdl, scorer)
-    val results = grouped
-      .groupByKey(_._1)
-      .mapGroups { (_, rows) =>
-        val byTerm = rows.toSeq.groupBy(_._2)
-        val termSegs = termsArr.indices.map { i =>
-          val t = termsArr(i)
-          val bytes = byTerm.get(t).map { rs =>
-            if (rs.size == 1) rs.head._3 else PostingCodec.merge(rs.map(_._3))
-          }
-          (Wand.TermCtx(t, dfArr(i)), bytes)
+
+    def evalGroup(rows: Seq[(String, Array[Byte])]): Wand.ShardResult = {
+      val byTerm = rows.groupBy(_._1)
+      val termSegs = termsArr.indices.map { i =>
+        val t = termsArr(i)
+        val bytes = byTerm.get(t).map { rs =>
+          if (rs.size == 1) rs.head._2 else PostingCodec.merge(rs.map(_._2))
         }
-        Wand.evaluateShard(termSegs, sc, n, ad, k, exact)
+        (Wand.TermCtx(t, dfArr(i)), bytes)
       }
-      .collect()
+      Wand.evaluateShard(termSegs, sc, n, ad, k, exact)
+    }
+
+    val results: Array[Wand.ShardResult] =
+      if (!anySalted) {
+        // Tail-only query: every term's df ≤ saltThreshold, so its whole
+        // posting list is small by construction — ONE fetch job, then
+        // driver-local WAND (term-at-a-time small-query path; no shuffle).
+        Array(evalGroup(segs.collect().toSeq.map(r => (r._1, r._3))))
+      } else {
+        // Head-term query: shard-local distributed WAND. Salted segments
+        // stay on their doc shard; unsalted ones replicate to each shard.
+        segs.flatMap { case (t, sh, bytes) =>
+          if (sh < 0) (0 until s).map(g => (g, t, bytes)) else Seq((sh, t, bytes))
+        }
+          .groupByKey(_._1)
+          .mapGroups((_, rows) => evalGroup(rows.toSeq.map(r => (r._2, r._3))))
+          .collect()
+      }
 
     val hits = results.flatMap(_.hits)
     val count = results.map(_.matchCount).sum

@@ -78,6 +78,20 @@ class HtmlTextSpec extends AnyFunSuite {
     val html = "<html><head><title>T</title></head><body><p>два  <b>три</b> &amp; x</p></body></html>"
     assert(HtmlText.bodyText(html) == "два три & x")
   }
+  test("cleanToTextFast == cleanToText on generated corpus and hand cases") {
+    val cfg = graft.corpus.CorpusGen.Config(2, 150, seed = 11L)
+    (0L until cfg.nDocs).foreach { i =>
+      val html = new String(graft.corpus.CorpusGen.pageAt(cfg, i).html,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(HtmlText.cleanToTextFast(html) == HtmlText.cleanToText(html), s"doc $i diverges")
+    }
+    val cases = Seq("", "<p>a</p>", "a &amp;lt; b", "x &quot;y&quot; z", "&bogus;",
+      "  <b> a </b>  b ", "<a href=\"/p/1\">слово</a>", "a > b", "t&amp;t",
+      "<html><head><title>Т</title></head><body><p>а б</p></body></html>")
+    cases.foreach { h =>
+      assert(HtmlText.cleanToTextFast(h) == HtmlText.cleanToText(h), s"'$h' diverges")
+    }
+  }
   test("title extraction (Jsoup .title())") {
     assert(HtmlText.title("<html><head><title> Мой  заголовок </title></head><body>x</body></html>") == "Мой заголовок")
     assert(HtmlText.title("<html><body>x</body></html>") == "")
