@@ -86,7 +86,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").isDefined
     val work = Files.createTempDirectory("graft-bench").toString
 
@@ -138,9 +138,11 @@ object Bench {
         if (!Files.exists(Paths.get(s"$work/pages")))
           CorpusGen.generate(genSpark, corpusCfg).write.parquet(s"$work/pages")
       } finally genSpark.stop()
-      // best-of-2 fresh-JVM runs per level
-      docsPerSec8 = math.max(buildAt(pLow, s"$work/b1"), buildAt(pLow, s"$work/b2"))
-      docsPerSec32 = math.max(buildAt(pHigh, s"$work/b3"), buildAt(pHigh, s"$work/b4"))
+      // one fresh-JVM run per level (fresh JVMs remove the dominant
+      // in-process session bias; the corpus is large enough that the
+      // CPU-bound fraction dominates remaining noise)
+      docsPerSec8 = buildAt(pLow, s"$work/b1")
+      docsPerSec32 = buildAt(pHigh, s"$work/b3")
     }
 
     // ── sections 1 + 3 on the standard session ──

@@ -278,14 +278,18 @@ object DocOps {
   /** MinHash signatures: 8 hash functions realized as the lexicographic
     * MIN of md5(seed || ':' || shingle) — portable across engines (md5 is
     * identical everywhere; lexicographic min of the hex digest is a valid
-    * uniform min-hash). */
+    * uniform min-hash). One aggregate pass computes all 8 mins as
+    * separate columns (no seed-explode: an 8x row blow-up before the
+    * shuffle), then unpivots — ~8x less shuffle volume. */
   def minhashSignatures(spark: SparkSession, dir: String, nHashes: Int = 8): DataFrame = {
     val sh = shingles(documents(spark, dir))
-    val seeded = sh.select(col("doc_id"),
-      explode(expr(s"transform(sequence(0, ${nHashes - 1}), s -> s)")).as("seed"), col("sh"))
-    seeded
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")).cast("binary"))).as("sig"))
+    val minCols = (0 until nHashes).map { s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("sh")).cast("binary"))).as(s"sig$s")
+    }
+    val wide = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val stackExpr = (0 until nHashes).map(s => s"$s, sig$s").mkString(", ")
+    wide.select(col("doc_id"),
+        expr(s"stack($nHashes, $stackExpr)").as(Seq("seed", "sig")))
       .orderBy("doc_id", "seed")
   }
 
