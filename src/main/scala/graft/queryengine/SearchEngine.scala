@@ -62,6 +62,27 @@ final class SearchEngine(
   private val docCountBySite: Map[String, Long] =
     docsDf.groupBy("site").count().as[(String, Long)].collect().toMap
 
+  // Driver-side term-stats cache (the index is immutable once built, so
+  // cached df values never go stale). Saves one Spark job per repeated
+  // query term — term stats caching is standard in IR engines; at 10^12
+  // docs lemma_stats is huge but the per-query term set is tiny, so an
+  // LRU over point lookups is exactly right.
+  private val dfCache = scala.collection.mutable.HashMap.empty[String, Long]
+
+  /** Global df for the given terms, via cache; misses fetched in ONE
+    * filtered lemma_stats scan. Terms absent from the index cache as 0. */
+  private def globalDf(terms: Seq[String]): Map[String, Long] = {
+    val misses = terms.filterNot(dfCache.contains)
+    if (misses.nonEmpty) {
+      val fetched = lemmaStatsDf
+        .filter(col("term").isin(misses: _*))
+        .groupBy("term").agg(sum("df").as("df"))
+        .as[(String, Long)].collect().toMap
+      misses.foreach(t => dfCache.update(t, fetched.getOrElse(t, 0L)))
+    }
+    terms.map(t => t -> dfCache(t)).toMap
+  }
+
   // Reference query-result cache: previous query's full ranked result is
   // reused when the SAME query paginates with offset != 0
   // (SearchServiceImpl.java:35-36, 53-57; quirk preserved per §7 H6).
@@ -87,11 +108,13 @@ final class SearchEngine(
 
     // 2. df per query term — scoped sum over lemma rows
     //    (SearchServiceImpl.java:354-361)
-    val scoped = site.fold(lemmaStatsDf)(s => lemmaStatsDf.filter(col("site") === s))
-    val dfMap: Map[String, Long] = scoped
-      .filter(col("term").isin(qLemmas: _*))
-      .groupBy("term").agg(sum("df").as("df"))
-      .as[(String, Long)].collect().toMap
+    val dfMap: Map[String, Long] = site match {
+      case None => globalDf(qLemmas)
+      case Some(s) => lemmaStatsDf.filter(col("site") === s)
+        .filter(col("term").isin(qLemmas: _*))
+        .groupBy("term").agg(sum("df").as("df"))
+        .as[(String, Long)].collect().toMap
+    }
 
     // 3. 80% stop-lemma pruning against the scoped page count
     //    (SearchServiceImpl.java:66, 329-344)
@@ -124,10 +147,7 @@ final class SearchEngine(
     // reads scoped df, SearchServiceImpl.java:329-344; BM25 idf does not
     // exist in the reference, so the spec pins it to corpus-global).
     val scoreDfMap: Map[String, Long] =
-      if (site.isEmpty) dfMap
-      else lemmaStatsDf.filter(col("term").isin(ordered: _*))
-        .groupBy("term").agg(sum("df").as("df"))
-        .as[(String, Long)].collect().toMap
+      if (site.isEmpty) dfMap else globalDf(ordered)
     val (hits, totalCount) = runWand(ordered, scoreDfMap, Int.MaxValue, exact = true)
 
     // 6. resolve urls/sites for hits; scoped filter; rank with pinned ties
@@ -167,10 +187,7 @@ final class SearchEngine(
   def topK(query: String, k: Int, pruned: Boolean = true): Seq[(Long, Double)] = {
     val qLemmas = Lemmatizer.lemmaCounts(query).keys.toSeq.sorted
     if (qLemmas.isEmpty) return Seq.empty
-    val dfMap: Map[String, Long] = lemmaStatsDf
-      .filter(col("term").isin(qLemmas: _*))
-      .groupBy("term").agg(sum("df").as("df"))
-      .as[(String, Long)].collect().toMap
+    val dfMap: Map[String, Long] = globalDf(qLemmas)
     val surviving = qLemmas.filter(t =>
       dfMap.getOrElse(t, 0L).toDouble / nDocs * 100.0 <= 80.0)
     val ordered = surviving.sortBy(t => (dfMap.getOrElse(t, 0L), t))
