@@ -56,6 +56,19 @@ object GraftCli {
         IndexBuild.mergeSegments(spark, indexDir)
         println("merged")
 
+      case "refresh" :: pagesDir :: indexDir :: url :: Nil =>
+        // re-index one page from the (updated) pages table — §3.3 indexPage
+        import org.apache.spark.sql.functions.col
+        val one = spark.read.parquet(pagesDir).filter(col("url") === url)
+          .as[PageRow](Encoders.product[PageRow])
+        require(one.count() == 1, s"url not found in $pagesDir: $url")
+        graft.index.Refresh.refreshPages(spark, indexDir, one)
+        println(s"refreshed $url")
+
+      case "delete" :: indexDir :: url :: Nil =>
+        graft.index.Refresh.deletePages(spark, indexDir, Seq(url))
+        println(s"deleted $url")
+
       case "search" :: indexDir :: pagesDir :: scorerName :: query :: rest =>
         val scorer: Scorer = scorerName match {
           case "bm25" => Bm25()
@@ -88,6 +101,8 @@ object GraftCli {
              |  gen <nSites> <pagesPerSite> <pagesDir>
              |  build <pagesDir> <indexDir> [nBatches]
              |  merge <indexDir>
+             |  refresh <pagesDir> <indexDir> <url>
+             |  delete <indexDir> <url>
              |  search <indexDir> <pagesDir> <tfsum|bm25> <query> [offset limit [siteUrl]]
              |  stats <indexDir>""".stripMargin)
         sys.exit(2)

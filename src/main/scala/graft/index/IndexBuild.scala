@@ -314,6 +314,11 @@ object IndexBuild {
       built += 1
     }
     analyzed.unpersist()
+    if (singleBatch && built > 0) {
+      // the direct-to-index write IS the merged index, as of batch 0
+      spark.range(1).select(lit(0).as("as_of_batch"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/index_meta")
+    }
     built
   }
 
@@ -351,5 +356,10 @@ object IndexBuild {
       .toDF
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/index")
+    // high-water mark for incremental refresh (Refresh.mergeWithTombstones)
+    val maxBatch = spark.read.parquet(s"$outDir/segments")
+      .agg(max(col("batch"))).collect()(0).getInt(0)
+    spark.range(1).select(lit(maxBatch).as("as_of_batch"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/index_meta")
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ReferenceTfSum, RuDict, HtmlText}
+import graft.corpus.{CorpusGen, PageRow}
+import graft.index.{IndexBuild, Refresh}
+import graft.queryengine.SearchEngine
+
+/** Incremental refresh/delete (§3.3 indexPage rebuild): after a refresh
+  * the engine must be rank-identical to the oracle computed over the
+  * MODIFIED corpus — including df-sensitive pruning and ordering — and
+  * after a delete over the shrunk corpus. */
+class RefreshSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val corpusCfg = CorpusGen.Config(2, 100)
+  private val idxCfg = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, nBatches = 2, buckets = 16)
+
+  private def html(title: String, body: String): Array[Byte] =
+    s"<html><head><title>$title</title></head><body><p>$body</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+
+  private def page(url: String, h: Array[Byte]): PageRow =
+    PageRow(url, new java.sql.Timestamp(CorpusGen.Epoch), h,
+      HtmlText.cleanToText(new String(h, StandardCharsets.UTF_8)), "ru")
+
+  test("refresh + delete keep the engine rank-identical to the modified-corpus oracle") {
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft-refresh").toString
+    val pages = CorpusGen.generate(spark, corpusCfg).collect().toSeq
+    import spark.implicits._
+    spark.createDataset(pages).write.mode("overwrite").parquet(s"$work/pages")
+    val ds = spark.read.parquet(s"$work/pages")
+      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    IndexBuild.run(spark, ds, s"$work/idx", idxCfg)
+    IndexBuild.mergeSegments(spark, s"$work/idx")
+
+    val l = RuDict.contentLemmas
+    val marker = l(198) // rare lemma, used as the refreshed page's content
+    val common = l(1)
+
+    // ── refresh an existing page with brand-new content ──
+    val targetUrl = "https://site0.test/p/000010"
+    val newPage = page(targetUrl, html(s"$marker заголовок",
+      s"$marker ${RuDict.formsOf(marker)(2)} $common $common ${l(30)}"))
+    Refresh.refreshPages(spark, s"$work/idx", spark.createDataset(Seq(newPage)), idxCfg)
+    // also write the modified pages table (presentation reads html by url)
+    val modified = pages.map(p => if (p.url == targetUrl) newPage else p)
+    spark.createDataset(modified).write.mode("overwrite").parquet(s"$work/pages2")
+
+    val oracle1 = new RefOracle.Corpus(modified.map { r =>
+      RefOracle.Doc(r.url, IndexBuild.siteOf(r.url), new String(r.html, StandardCharsets.UTF_8))
+    })
+    val engine1 = new SearchEngine(spark, s"$work/idx", s"$work/pages2", ReferenceTfSum)
+    val queries = Seq(marker, s"$marker $common", s"${l(0)} ${l(20)}", s"$common ${l(30)}")
+    for (q <- queries) {
+      val exp = RefOracle.search(oracle1, q, None, ReferenceTfSum)
+      val got = engine1.search(q, 0, 30, None)
+      assert(got.count == exp.count.toLong, s"count mismatch for '$q' after refresh")
+      assert(got.data.map(i => i.site + i.uri) == exp.results.take(30).map(_.url),
+        s"ranking mismatch for '$q' after refresh")
+    }
+    // the refreshed page must surface for its new marker term
+    assert(engine1.search(marker, 0, 30, None).data.exists(i => i.site + i.uri == targetUrl))
+
+    // ── delete another page entirely ──
+    val delUrl = "https://site1.test/p/000050"
+    Refresh.deletePages(spark, s"$work/idx", Seq(delUrl), idxCfg)
+    val afterDelete = modified.filterNot(_.url == delUrl)
+    spark.createDataset(afterDelete).write.mode("overwrite").parquet(s"$work/pages3")
+    val oracle2 = new RefOracle.Corpus(afterDelete.map { r =>
+      RefOracle.Doc(r.url, IndexBuild.siteOf(r.url), new String(r.html, StandardCharsets.UTF_8))
+    })
+    val engine2 = new SearchEngine(spark, s"$work/idx", s"$work/pages3", ReferenceTfSum)
+    assert(engine2.nDocs == afterDelete.size.toLong)
+    for (q <- queries) {
+      val exp = RefOracle.search(oracle2, q, None, ReferenceTfSum)
+      val got = engine2.search(q, 0, 30, None)
+      assert(got.count == exp.count.toLong, s"count mismatch for '$q' after delete")
+      assert(got.data.map(i => i.site + i.uri) == exp.results.take(30).map(_.url),
+        s"ranking mismatch for '$q' after delete")
+    }
+    assert(!engine2.search(s"${l(0)}", 0, 100, None).data.exists(i => i.site + i.uri == delUrl))
+
+    // ── second refresh of the SAME page (latest-batch-wins) ──
+    val newer = page(targetUrl, html("другой заголовок", s"${l(150)} ${l(150)} ${l(151)}"))
+    Refresh.refreshPages(spark, s"$work/idx", spark.createDataset(Seq(newer)), idxCfg)
+    val engine3 = new SearchEngine(spark, s"$work/idx", s"$work/pages3", ReferenceTfSum)
+    assert(!engine3.search(marker, 0, 30, None).data.exists(i => i.site + i.uri == targetUrl),
+      "old version's terms must be dead after the second refresh")
+    assert(engine3.search(l(150), 0, 30, None).data.exists(i => i.site + i.uri == targetUrl),
+      "newest version's terms must match")
+  }
+}
