@@ -42,6 +42,43 @@ object GraftFunctions {
   /** Particle check (МЕЖД/ПРЕДЛ/СОЮЗ; MorphologyServiceImpl.java:221-224). */
   val isParticle = udf((token: String) => Lemmatizer.isParticle(token))
 
+  private val HrefRe = """(?i)<a\s[^>]*href\s*=\s*"([^"#]*)[^"]*"""".r
+
+  /** S2 — link extraction (`document.select("a[href]")`,
+    * HtmlParseService.java:109-121): href values, anchors stripped
+    * (normalizeUrl drops `#...`, LinkToolsBox.java:89-116), order kept,
+    * duplicates removed (LinkedHashSet semantics, LinkToolsBox.java:24-33). */
+  val extractLinks = udf((html: Array[Byte]) => {
+    if (html == null) Seq.empty[String]
+    else {
+      val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+      HrefRe.findAllMatchIn(s).map(_.group(1)).toSeq.distinct
+    }
+  })
+
+  /** U6 — extractRootDomain (LinkToolsBox.java:43-60): scheme + host. */
+  val rootUrl = udf((url: String) => {
+    val i = url.indexOf("://")
+    if (i < 0) url
+    else {
+      val j = url.indexOf('/', i + 3)
+      if (j < 0) url else url.substring(0, j)
+    }
+  })
+
+  /** U6 — getShortUrl (LinkToolsBox.java:120-135): site-relative path,
+    * "/" for the root page. */
+  val shortUrl = udf((url: String) => {
+    val i = url.indexOf("://")
+    val path =
+      if (i < 0) url
+      else {
+        val j = url.indexOf('/', i + 3)
+        if (j < 0) "" else url.substring(j)
+      }
+    if (path.isEmpty) "/" else path
+  })
+
   /** Register all kernels for SQL use: graft_html_to_text, graft_body_text,
     * graft_title, graft_lemma, graft_lemmas, graft_snippet,
     * graft_is_particle. */
@@ -53,5 +90,8 @@ object GraftFunctions {
     spark.udf.register("graft_lemmas", lemmas)
     spark.udf.register("graft_snippet", snippet)
     spark.udf.register("graft_is_particle", isParticle)
+    spark.udf.register("graft_extract_links", extractLinks)
+    spark.udf.register("graft_root_url", rootUrl)
+    spark.udf.register("graft_short_url", shortUrl)
   }
 }

@@ -206,10 +206,17 @@ final class SearchEngine(
     val buckets = ordered.map(IndexBuild.termBucket(_, bucketCount)).distinct
     val segs = segmentsDf
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(ordered: _*))
-      .select("term", "shard", "postings")
-      .as[(String, Int, Array[Byte])]
+      .select("term", "shard", "doc_count", "postings")
+      .as[(String, Int, Int, Array[Byte])]
 
     val anySalted = ordered.exists(headTerms.contains)
+    // Cheap cardinality estimate from segment METADATA (doc_count column —
+    // no posting decode): moderate queries evaluate driver-locally in one
+    // fetch job; only genuinely large ones pay the shard-shuffle.
+    val totalPostings: Long =
+      if (!anySalted) 0L // tail-only is always local
+      else segs.select(sum(col("doc_count"))).as[Long].collect().headOption.getOrElse(0L)
+    val localEvalLimit = 2000000L
     val s = shards
     val termsArr = ordered.toArray
     val dfArr = termsArr.map(dfMap)
@@ -232,11 +239,21 @@ final class SearchEngine(
         // Tail-only query: every term's df ≤ saltThreshold, so its whole
         // posting list is small by construction — ONE fetch job, then
         // driver-local WAND (term-at-a-time small-query path; no shuffle).
-        Array(evalGroup(segs.collect().toSeq.map(r => (r._1, r._3))))
+        Array(evalGroup(segs.collect().toSeq.map(r => (r._1, r._4))))
+      } else if (totalPostings <= localEvalLimit) {
+        // Moderate salted query: fetch the (few-MB) segments in one job
+        // and evaluate each doc shard locally — same shard grouping, no
+        // shuffle stage.
+        val rows = segs.collect()
+        (0 until s).map { g =>
+          evalGroup(rows.toSeq.collect {
+            case (t, sh, _, bytes) if sh == g || sh < 0 => (t, bytes)
+          })
+        }.toArray
       } else {
-        // Head-term query: shard-local distributed WAND. Salted segments
+        // Large query: shard-local distributed WAND. Salted segments
         // stay on their doc shard; unsalted ones replicate to each shard.
-        segs.flatMap { case (t, sh, bytes) =>
+        segs.flatMap { case (t, sh, _, bytes) =>
           if (sh < 0) (0 until s).map(g => (g, t, bytes)) else Seq((sh, t, bytes))
         }
           .groupByKey(_._1)

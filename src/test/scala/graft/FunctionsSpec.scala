@@ -39,4 +39,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("part"))
     assert(row.getAs[String]("snip").contains("<b>были</b>"))
   }
+
+  test("link extraction (S2) and url utilities (U6)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val html = ("<html><body><a href=\"/p/1\">a</a> <b>x</b>" +
+      "<a href=\"https://site0.test/p/2#frag\">b</a><a href=\"/p/1\">dup</a></body></html>")
+      .getBytes("UTF-8")
+    Seq((html, "https://site0.test/p/000042")).toDF("html", "url")
+      .createOrReplaceTempView("t2")
+    val r = spark.sql(
+      """SELECT graft_extract_links(html) AS links,
+        |       graft_root_url(url) AS root,
+        |       graft_short_url(url) AS path,
+        |       graft_short_url('https://site0.test') AS rootpath
+        |FROM t2""".stripMargin).collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("links").toSeq ==
+      Seq("/p/1", "https://site0.test/p/2")) // anchors stripped, dups dropped
+    assert(r.getAs[String]("root") == "https://site0.test")
+    assert(r.getAs[String]("path") == "/p/000042")
+    assert(r.getAs[String]("rootpath") == "/")
+  }
 }
