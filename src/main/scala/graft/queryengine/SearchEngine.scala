@@ -69,6 +69,24 @@ final class SearchEngine(
   // LRU over point lookups is exactly right.
   private val dfCache = scala.collection.mutable.HashMap.empty[String, Long]
 
+  // Hot-posting cache: collected segment rows per term (bounded LRU by
+  // total bytes). A cache-hit query runs ZERO Spark jobs — pure driver
+  // WAND. Only terms whose segments were small enough to fetch locally
+  // are cached; the distributed path for huge terms bypasses it.
+  private val postingCacheLimit: Long =
+    sys.env.getOrElse("SPARK_GRAFT_POSTING_CACHE_BYTES", (256L * 1024 * 1024).toString).toLong
+  private val postingCache =
+    new java.util.LinkedHashMap[String, Seq[(Int, Array[Byte])]](64, 0.75f, true) {
+      private def bytesOf(v: Seq[(Int, Array[Byte])]): Long = v.map(_._2.length.toLong).sum
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(Int, Array[Byte])]]): Boolean = {
+        var total = 0L
+        val it = entrySet().iterator()
+        while (it.hasNext) total += bytesOf(it.next().getValue)
+        total > postingCacheLimit && size() > 1
+      }
+    }
+
   /** Global df for the given terms, via cache; misses fetched in ONE
     * filtered lemma_stats scan. Terms absent from the index cache as 0. */
   private def globalDf(terms: Seq[String]): Map[String, Long] = {
@@ -203,9 +221,11 @@ final class SearchEngine(
       k: Int,
       exact: Boolean): (Array[Wand.Hit], Long) = {
 
-    val buckets = ordered.map(IndexBuild.termBucket(_, bucketCount)).distinct
+    val cachedTerms = ordered.filter(t => postingCache.containsKey(t))
+    val missing = ordered.filterNot(cachedTerms.contains)
+    val buckets = missing.map(IndexBuild.termBucket(_, bucketCount)).distinct
     val segs = segmentsDf
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(ordered: _*))
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(missing: _*))
       .select("term", "shard", "doc_count", "postings")
       .as[(String, Int, Int, Array[Byte])]
 
@@ -214,7 +234,7 @@ final class SearchEngine(
     // no posting decode): moderate queries evaluate driver-locally in one
     // fetch job; only genuinely large ones pay the shard-shuffle.
     val totalPostings: Long =
-      if (!anySalted) 0L // tail-only is always local
+      if (!anySalted || missing.isEmpty) 0L // tail-only/cache-hit is local
       else segs.select(sum(col("doc_count"))).as[Long].collect().headOption.getOrElse(0L)
     val localEvalLimit = 2000000L
     val s = shards
@@ -234,28 +254,45 @@ final class SearchEngine(
       Wand.evaluateShard(termSegs, sc, n, ad, k, exact)
     }
 
+    def cachedRows(terms: Seq[String]): Seq[(String, Int, Array[Byte])] =
+      terms.flatMap { t =>
+        val rows = postingCache.get(t)
+        if (rows == null) Seq.empty else rows.map { case (sh, b) => (t, sh, b) }
+      }
+
     val results: Array[Wand.ShardResult] =
-      if (!anySalted) {
-        // Tail-only query: every term's df ≤ saltThreshold, so its whole
-        // posting list is small by construction — ONE fetch job, then
-        // driver-local WAND (term-at-a-time small-query path; no shuffle).
-        Array(evalGroup(segs.collect().toSeq.map(r => (r._1, r._4))))
-      } else if (totalPostings <= localEvalLimit) {
-        // Moderate salted query: fetch the (few-MB) segments in one job
-        // and evaluate each doc shard locally — same shard grouping, no
-        // shuffle stage.
-        val rows = segs.collect()
-        (0 until s).map { g =>
-          evalGroup(rows.toSeq.collect {
-            case (t, sh, _, bytes) if sh == g || sh < 0 => (t, bytes)
+      if (totalPostings <= localEvalLimit) {
+        // Local path (tail-only, moderate salted, or full cache hit):
+        // fetch missing segments in at most ONE job, cache them, and
+        // evaluate doc-shard groups on the driver. A repeated query runs
+        // zero Spark jobs.
+        val fetched = segs.collect().toSeq
+        fetched.groupBy(_._1).foreach { case (t, rs) =>
+          postingCache.put(t, rs.map(r => (r._2, r._4)))
+        }
+        missing.filterNot(t => fetched.exists(_._1 == t))
+          .foreach(t => postingCache.put(t, Seq.empty))
+        val rows = cachedRows(ordered)
+        if (!anySalted) Array(evalGroup(rows.map(r => (r._1, r._3))))
+        else (0 until s).map { g =>
+          evalGroup(rows.collect {
+            case (t, sh, bytes) if sh == g || sh < 0 => (t, bytes)
           })
         }.toArray
       } else {
         // Large query: shard-local distributed WAND. Salted segments
         // stay on their doc shard; unsalted ones replicate to each shard.
-        segs.flatMap { case (t, sh, _, bytes) =>
-          if (sh < 0) (0 until s).map(g => (g, t, bytes)) else Seq((sh, t, bytes))
-        }
+        // Re-scan ALL query terms here — the `segs` above covers only
+        // cache-missing terms, and driver-cached rows can't feed a
+        // distributed evaluation.
+        val allBuckets = ordered.map(IndexBuild.termBucket(_, bucketCount)).distinct
+        segmentsDf
+          .filter(col("bucket").isin(allBuckets: _*) && col("term").isin(ordered: _*))
+          .select("term", "shard", "postings")
+          .as[(String, Int, Array[Byte])]
+          .flatMap { case (t, sh, bytes) =>
+            if (sh < 0) (0 until s).map(g => (g, t, bytes)) else Seq((sh, t, bytes))
+          }
           .groupByKey(_._1)
           .mapGroups((_, rows) => evalGroup(rows.toSeq.map(r => (r._2, r._3))))
           .collect()
