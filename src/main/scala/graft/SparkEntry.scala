@@ -56,6 +56,7 @@ object SparkEntry {
     "q25_fingerprint" -> ((s, d) => DocOps.fingerprint(s, d)),
     "q26_token_counts" -> ((s, d) => DocOps.tokenCounts(s, d)),
     "q29_ann_lsh_buckets" -> ((s, d) => DocOps.annLshBuckets(s, d)),
+    "q35_ann_ivf_cells" -> ((s, d) => DocOps.annIvfCellSizes(s, d)),
     // ── events (windowed/sessionized) ──
     "q27_sessionize" -> ((s, d) => DocOps.sessionize(s, d)), // §2.5-adjacent
     "q28_hourly_window" -> ((s, d) => DocOps.hourlyWindow(s, d)),
@@ -389,6 +390,26 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS v
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q35_ann_ivf_cells" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16
+        |), cos AS (
+        |  SELECT e.vec_id, cents.cell,
+        |    round(
+        |      list_sum(list_transform(list_zip(e.v, cents.cv), x -> x[1] * x[2])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(cents.cv, x -> x * x)))), 6) AS cos
+        |  FROM e CROSS JOIN cents
+        |), assigned AS (
+        |  SELECT vec_id, cell,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        |  FROM cos
+        |)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM assigned WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q30_media_decode" ->
       """SELECT doc_id AS media_id,

@@ -368,6 +368,34 @@ object DocOps {
       .orderBy("bucket")
   }
 
+  /** IVF-style ANN (the coarse-quantizer scale path, complementing the
+    * hyperplane LSH above): deterministic centroids = the embeddings of
+    * vec_id 0..15 (no k-means iterations — reproducible across engines),
+    * every vector assigned to its max-cosine cell. Query-side probing
+    * searches only the query's cell. */
+  def annIvfCells(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cell"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))") *
+            expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF cell sizes — the balance check a production deployment monitors
+    * (skewed cells ⇒ probe hotspots). */
+  def annIvfCellSizes(spark: SparkSession, dir: String): DataFrame =
+    annIvfCells(spark, dir).groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors")).orderBy("cell")
+
   /** Language-ID heuristic: stopword-list hit counts per candidate
     * language; predicted = argmax (ties → lang asc). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
