@@ -181,8 +181,12 @@ object DocOps {
     val surviving = dfScoped.filter(col("term").isin(QueryTerms: _*))
       .filter(col("df") * 100.0 / lit(nScoped.toDouble) <= 80.0)
       .select("term").as[String].collect().toSeq
-    if (surviving.isEmpty)
-      return spark.emptyDataFrame.select() // not reached on fixture data
+    if (surviving.isEmpty) {
+      // all query terms pruned in this source — empty result with the
+      // SAME schema as the non-empty branch (oracle returns zero rows too)
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("doc_id", "rel")
+    }
     scopedTok.filter(col("term").isin(surviving: _*))
       .groupBy("doc_id")
       .agg(countDistinct(col("term")).as("nt"), count(lit(1)).as("abs_rel"))
