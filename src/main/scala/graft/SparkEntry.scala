@@ -66,10 +66,17 @@ object SparkEntry {
       graft.ops.Multimodal.decodeMeta(graft.ops.Multimodal.syntheticMedia(s, d))
         .orderBy(col("media_id"))
     }),
-    "q31_media_features" -> ((s, d) => { // rows-only (byte histograms)
+    "q31_media_features" -> ((s, d) => {
+      // histogram exploded to (bin, bin_count) rows: every column primitive
+      // and sortable, so the driver value-hashes it (round-1 q31 failed on
+      // the unhashable array column)
       import org.apache.spark.sql.functions._
       graft.ops.Multimodal.extractFeatures(graft.ops.Multimodal.syntheticMedia(s, d))
-        .toDF.orderBy(col("media_id"))
+        .toDF
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          posexplode(col("histogram")).as(Seq("bin", "bin_count")))
+        .orderBy(col("media_id"), col("bin"))
     }),
     "q32_frame_sample" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -421,6 +428,40 @@ object SparkEntry {
         |       CAST(1000 + doc_id % 9000 AS INT) AS duration_ms,
         |       true AS meta_consistent
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // payload body = utf-8 bytes of `text` cycled to need=256+doc_id%1024
+    // (Multimodal.syntheticMedia); byte values recovered in SQL from the
+    // hex dump of the blob, so the histogram is engine-portable
+    "q31_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         CAST(256 + doc_id % 1024 AS BIGINT) AS need,
+        |         upper(hex(encode(text))) AS hx,
+        |         greatest(octet_length(encode(text)), 1) AS tl
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, kind, need, hx, tl,
+        |         unnest(generate_series(0, CAST(need AS INT) - 1)) AS i
+        |  FROM b
+        |), byteval AS (
+        |  SELECT doc_id, kind, need,
+        |    (strpos('0123456789ABCDEF', substr(hx, CAST(2 * (i % tl) AS INT) + 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', substr(hx, CAST(2 * (i % tl) AS INT) + 2, 1)) - 1) AS v
+        |  FROM pos
+        |), agg AS (
+        |  SELECT doc_id, kind, need, round(sum(v) / CAST(need AS DOUBLE), 6) AS mean_byte
+        |  FROM byteval GROUP BY doc_id, kind, need
+        |), bins AS (
+        |  SELECT doc_id, v // 16 AS bin, count(*) AS cnt
+        |  FROM byteval GROUP BY doc_id, v // 16
+        |)
+        |SELECT a.doc_id AS media_id, a.kind, a.need AS n_bytes, a.mean_byte,
+        |       CAST(g.bin AS INT) AS bin, CAST(coalesce(bins.cnt, 0) AS BIGINT) AS bin_count
+        |FROM agg a CROSS JOIN generate_series(0, 15) g(bin)
+        |LEFT JOIN bins ON bins.doc_id = a.doc_id AND bins.bin = g.bin
+        |ORDER BY media_id, bin""".stripMargin,
 
     "q32_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(g.f AS INT) AS frame_no,

@@ -357,18 +357,32 @@ object DocOps {
 
   /** LSH-bucketed ANN (the scale path): random-hyperplane signatures via
     * md5-derived pseudo-planes; neighbours searched only within the same
-    * bucket. Deterministic, no external randomness. */
+    * bucket. Deterministic, no external randomness.
+    *
+    * The plane matrix is a CONSTANT: plane p, dim i weight = first md5
+    * nibble of "p:i" minus 7.5. It is computed once on the driver and
+    * shipped as a literal nested-array column — per row the job does only
+    * the nPlanes dot products (round 1 re-derived the matrix with 512 md5
+    * calls inside the per-row expression: 20% of the whole bench). */
   def annLshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // plane p, dim i weight = (nibble of md5(p:i) - 7.5) — deterministic
-    val sig = emb.withColumn("sig", expr(
-      s"""transform(sequence(0, ${nPlanes - 1}, 1), p ->
-         |  case when aggregate(zip_with(v, transform(sequence(0, size(v) - 1, 1), i ->
-         |    instr('0123456789abcdef', substr(md5(cast(concat(cast(p as string), ':', cast(i as string)) as binary)), 1, 1)) - 8.5),
-         |    (x, w) -> x * w), 0D, (acc, x) -> acc + x) > 0 then 1 else 0 end)""".stripMargin))
-      .withColumn("bucket", expr("aggregate(zip_with(sig, sequence(0, size(sig) - 1, 1), (b, i) -> b * cast(pow(2, i) as int)), 0, (acc, x) -> acc + x)"))
-    sig.groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+    val dims = emb.select(size(col("v"))).head.getInt(0)
+    def weight(p: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((h(0) >> 4) & 0xf).toDouble - 7.5 // == instr('0..f', hex[0]) - 8.5
+    }
+    val planes: Seq[Seq[Double]] =
+      (0 until nPlanes).map(p => (0 until dims).map(i => weight(p, i)))
+    emb.withColumn("planes", typedLit(planes))
+      .withColumn("bucket", expr(
+        s"""aggregate(transform(sequence(0, ${nPlanes - 1}, 1), p ->
+           |  case when aggregate(zip_with(v, planes[p], (x, w) -> x * w),
+           |                      0D, (acc, x) -> acc + x) > 0
+           |       then cast(pow(2, p) as int) else 0 end),
+           |  0, (acc, x) -> acc + x)""".stripMargin))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
       .orderBy("bucket")
   }
 
