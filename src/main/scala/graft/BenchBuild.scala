@@ -21,7 +21,13 @@ object BenchBuild {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-benchbuild-$threads")
-      .config("spark.sql.shuffle.partitions", threads)
+      // FIXED shuffle width across parallelism levels: a cluster scaling
+      // N→4N keeps its partition count and raises concurrency; tying the
+      // width to the thread count makes the low-parallelism run sort the
+      // whole posting set in one spilling partition and measures disk,
+      // not scaling.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "16m")

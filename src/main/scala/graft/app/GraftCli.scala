@@ -34,8 +34,11 @@ object GraftCli {
     import org.apache.spark.sql.Encoders
 
     args.toList match {
-      case "gen" :: nSites :: perSite :: out :: Nil =>
-        val cfg = CorpusGen.Config(nSites.toInt, perSite.toInt)
+      case "gen" :: nSites :: perSite :: out :: rest =>
+        val cfg = rest match {
+          case aw :: Nil => CorpusGen.Config(nSites.toInt, perSite.toInt, avgWords = aw.toInt)
+          case _ => CorpusGen.Config(nSites.toInt, perSite.toInt)
+        }
         CorpusGen.generate(spark, cfg).write.mode("overwrite").parquet(out)
         println(s"wrote ${cfg.nDocs} pages to $out")
 

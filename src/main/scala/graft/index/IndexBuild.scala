@@ -216,7 +216,20 @@ object IndexBuild {
   def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
       cfg: Config = Config(), stopAfter: Int = Int.MaxValue): Int = {
     import spark.implicits._
-    val numPartitions = spark.sparkContext.defaultParallelism
+    // partitionBy(bucket) with the default sort-based writer re-sorts every
+    // task's rows — copying each multi-KB posting blob through the external
+    // sorter. With ≤ `buckets` open files per task, concurrent writers skip
+    // that sort entirely.
+    spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", cfg.buckets + 4)
+    // Shuffle width = the session's declared shuffle partitioning, NOT the
+    // executor count: on a real cluster the partition count stays constant
+    // while the cluster scales N→4N (only concurrency changes), and a
+    // too-small width makes the per-partition sort spill (observed: at
+    // width 1 the posting sort spills and the 1-thread run measures disk,
+    // not compute — poisoning the scaling-efficiency comparison).
+    val numPartitions = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
 
     // ONE extract+lemmatize pass over the corpus, persisted (memory+disk
     // spill) — docs, lemma_stats and every posting batch derive from it.
