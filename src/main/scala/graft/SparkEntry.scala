@@ -98,7 +98,10 @@ object SparkEntry {
     "q34_stream_sessions" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val st = graft.streaming.EventsStream
-      val q = st.runToMemory(s, st.sessionize(s, st.readEvents(s, d)).toDF,
+      // parity mode (idleTimeout = false): the oracle defines exactly the
+      // gap-closed sessions; production default closes idle sessions via
+      // EventTimeTimeout (StreamingSpec covers the timeout emission)
+      val q = st.runToMemory(s, st.sessionize(s, st.readEvents(s, d), idleTimeout = false).toDF,
         "q34_stream_sessions_mem")
       q.stop()
       s.table("q34_stream_sessions_mem")

@@ -52,7 +52,8 @@ object GraftCli {
         val built = IndexBuild.run(spark, pages, indexDir, cfg)
         IndexBuild.mergeSegments(spark, indexDir)
         val sec = (System.nanoTime() - t0) / 1e9
-        val n = spark.read.parquet(s"$indexDir/stats").collect()(0).getAs[Long]("n_docs")
+        val n = graft.store.TableStore.open(spark, indexDir)
+          .read("stats").collect()(0).getAs[Long]("n_docs")
         println(f"built $built batches, $n docs in $sec%.1f s (${n / sec}%.0f docs/s)")
 
       case "merge" :: indexDir :: Nil =>

@@ -29,7 +29,10 @@ object Snippet extends Serializable {
   /** Build the snippet for one page body text given the surviving query
     * lemmas. `bodyText` = HtmlText.bodyText(html). */
   def build(bodyText: String, queryLemmas: Set[String]): String = {
-    val textArray = bodyText.split(" ", -1)
+    // Java limit-0 split semantics (trailing empty strings dropped) — the
+    // reference uses text.split(" ") (SearchServiceImpl.java:125), so
+    // trailing spaces must not extend the window arithmetic.
+    val textArray = bodyText.split(" ")
     val positions = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i < textArray.length) {

@@ -189,4 +189,20 @@ object CorpusGen {
     spark.range(0, cfg.nDocs, 1, math.min(parts.toLong, math.max(1L, cfg.nDocs)).toInt)
       .map(i => pageAt(cfg, i))
   }
+
+  /** Crawl-shaped variant: the input_hint schema PLUS the HTTP status
+    * column the reference persists per page (Page.java:10-34). A few
+    * deterministic non-200 rows exercise the valid-code filter F1
+    * (IndexBuild.filterValidCode; MorphologyServiceImpl.java:89-90):
+    * ~1/29 are 404, ~1/29 are 500 (both invalid), ~1/29 are 308 (valid
+    * redirect per application.yaml:23-25), the rest 200. */
+  def generateWithCodes(spark: SparkSession, cfg: Config,
+      numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    generate(spark, cfg, numPartitions).withColumn("code",
+      when(pmod(xxhash64(col("url")), lit(29)) === 3, lit(404))
+        .when(pmod(xxhash64(col("url")), lit(29)) === 11, lit(500))
+        .when(pmod(xxhash64(col("url")), lit(29)) === 17, lit(308))
+        .otherwise(lit(200)))
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Lemmatizer, PostingCodec}
 import graft.corpus.PageRow
+import graft.store.TableStore
 
 /** Logical posting row (reference `index_t`: lemma_id→page_id→rating;
   * IndexEntity.java:9-27). dl = doc token count, carried into the encoded
@@ -65,6 +66,18 @@ object IndexBuild {
       saltThresholdDf: Long = 1000L, // global df above which a term is salted
       nBatches: Int = 4, // resumable build batches
       buckets: Int = 16) // term-hash storage partitions
+
+  /** Reference F1: only pages with a valid HTTP status are lemmatized
+    * (MorphologyServiceImpl.java:89-90; valid-codes {200, 308} from
+    * application.yaml:23-25). The input_hint schema carries no `code`
+    * column — a crawl-produced table may; when present, the filter is
+    * applied (pushed down to the scan), otherwise every page is valid. */
+  val ValidHttpCodes: Seq[Int] = Seq(200, 308)
+
+  def filterValidCode[T](pages: Dataset[T]): Dataset[T] =
+    if (pages.columns.contains("code"))
+      pages.filter(col("code").isin(ValidHttpCodes: _*))
+    else pages
 
   /** pages → typed postings via one pass per doc (SURVEY.md §2.9):
     * tokenize (F2/F4) + particle drop (F3) + lemmatize (U5) + tf count (A1).
@@ -162,43 +175,52 @@ object IndexBuild {
       .repartition(numPartitions, col("term"), col("shard"))
       .sortWithinPartitions("term", "shard", "doc_id")
       .as[(String, Int, Long, Long, Long)]
-      .mapPartitions { it =>
-        val partId = TaskContext.getPartitionId()
-        new Iterator[SegmentRow] {
-          private val buf = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
-          private var curTerm: String = null
-          private var curShard: Int = 0
+      .mapPartitions(it => encodeSortedPartition(it, buckets))
+  }
 
-          private def emit(): SegmentRow = {
-            val arr = buf.toArray
-            buf.clear()
-            SegmentRow(
-              bucket = termBucket(curTerm, buckets),
-              term = curTerm, shard = curShard, part_id = partId,
-              doc_count = arr.length,
-              block_max = if (arr.isEmpty) 0.0 else arr.map(_.tf).max.toDouble,
-              postings = PostingCodec.encode(arr))
-          }
+  /** Streaming run-length encoder over one partition of
+    * (term, shard, doc_id, tf, dl) rows ALREADY sorted by
+    * (term, shard, doc_id): one SegmentRow per (term, shard) run.
+    * Shared by the initial build (buildSegments) and the refresh merge
+    * (Refresh.mergeWithTombstones). */
+  def encodeSortedPartition(
+      it: Iterator[(String, Int, Long, Long, Long)],
+      buckets: Int): Iterator[SegmentRow] = {
+    val partId = TaskContext.getPartitionId()
+    new Iterator[SegmentRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
+      private var curTerm: String = null
+      private var curShard: Int = 0
 
-          override def hasNext: Boolean = it.hasNext || buf.nonEmpty
-
-          override def next(): SegmentRow = {
-            while (it.hasNext) {
-              val (term, shard, docId, tf, dl) = it.next()
-              if (curTerm == null) { curTerm = term; curShard = shard }
-              if (term != curTerm || shard != curShard) {
-                val r = emit()
-                curTerm = term; curShard = shard
-                buf += PostingCodec.Posting(docId, tf, dl)
-                return r
-              }
-              buf += PostingCodec.Posting(docId, tf, dl)
-            }
-            if (buf.nonEmpty) emit()
-            else throw new NoSuchElementException("empty partition")
-          }
-        }
+      private def emit(): SegmentRow = {
+        val arr = buf.toArray
+        buf.clear()
+        SegmentRow(
+          bucket = termBucket(curTerm, buckets),
+          term = curTerm, shard = curShard, part_id = partId,
+          doc_count = arr.length,
+          block_max = if (arr.isEmpty) 0.0 else arr.map(_.tf).max.toDouble,
+          postings = PostingCodec.encode(arr))
       }
+
+      override def hasNext: Boolean = it.hasNext || buf.nonEmpty
+
+      override def next(): SegmentRow = {
+        while (it.hasNext) {
+          val (term, shard, docId, tf, dl) = it.next()
+          if (curTerm == null) { curTerm = term; curShard = shard }
+          if (term != curTerm || shard != curShard) {
+            val r = emit()
+            curTerm = term; curShard = shard
+            buf += PostingCodec.Posting(docId, tf, dl)
+            return r
+          }
+          buf += PostingCodec.Posting(docId, tf, dl)
+        }
+        if (buf.nonEmpty) emit()
+        else throw new NoSuchElementException("empty partition")
+      }
+    }
   }
 
   def termBucket(term: String, buckets: Int): Int = {
@@ -230,6 +252,7 @@ object IndexBuild {
     val numPartitions = math.max(
       spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
+    val store = TableStore.open(spark, outDir)
 
     // ONE extract+lemmatize pass over the corpus, persisted (memory+disk
     // spill) — docs, lemma_stats and every posting batch derive from it.
@@ -240,7 +263,8 @@ object IndexBuild {
     // corpus `text` column equals it byte-identically (input_hint
     // invariant, asserted in EngineSpec), so downstream results are
     // unchanged while the build does the honest extraction work.
-    val analyzed = pages.select(col("url"), col("html"), col("lang"))
+    val analyzed = filterValidCode(pages) // F1: non-200/308 never indexed
+      .select(col("url"), col("html"), col("lang"))
       .as[(String, Array[Byte], String)]
       .map { case (url, html, lang) =>
         val text = graft.core.HtmlText.cleanToTextFast(html)
@@ -256,15 +280,17 @@ object IndexBuild {
     // ~2x worse (writer memory pressure) than cache-then-write.
     phase("analyze")(analyzed.count())
 
-    phase("docs write")(analyzed.select("doc_id", "url", "site", "lang", "dl")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs"))
+    phase("docs write")(store.write(
+      analyzed.select("doc_id", "url", "site", "lang", "dl"),
+      "docs", SaveMode.Overwrite))
 
     val post = analyzed
       .select(col("doc_id"), col("site"), col("dl"), explode(col("terms")).as(Seq("term", "tf")))
 
-    phase("lemma_stats write")(post.groupBy("term", "site").agg(count(lit(1)).as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lemma_stats"))
-    val statsDf = spark.read.parquet(s"$outDir/lemma_stats")
+    phase("lemma_stats write")(store.write(
+      post.groupBy("term", "site").agg(count(lit(1)).as("df")),
+      "lemma_stats", SaveMode.Overwrite))
+    val statsDf = store.read("lemma_stats")
 
     // Global stats for BM25 (N, avgdl) + build config — one tiny row.
     // The doc-id uniqueness check (hash-collision guard) rides the same
@@ -275,8 +301,9 @@ object IndexBuild {
       avg(col("dl")).as("avgdl"),
       sum(col("dl")).as("total_tokens"))
       .withColumn("shards", lit(cfg.shards))
-    phase("stats write")(statsRow.write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats"))
-    val st = spark.read.parquet(s"$outDir/stats").collect()(0)
+      .withColumn("n_batches", lit(cfg.nBatches))
+    phase("stats write")(store.write(statsRow, "stats", SaveMode.Overwrite))
+    val st = store.read("stats").collect()(0)
     require(st.getAs[Long]("n_docs") == st.getAs[Long]("n_distinct"),
       s"doc_id hash collision or duplicate url: " +
         s"${st.getAs[Long]("n_docs") - st.getAs[Long]("n_distinct")}")
@@ -285,8 +312,8 @@ object IndexBuild {
     val headTerms = statsDf.groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > cfg.saltThresholdDf)
       .select("term")
-    phase("head_terms write")(headTerms.write.mode(SaveMode.Overwrite).parquet(s"$outDir/head_terms"))
-    val headDf = spark.read.parquet(s"$outDir/head_terms")
+    phase("head_terms write")(store.write(headTerms, "head_terms", SaveMode.Overwrite))
+    val headDf = store.read("head_terms")
 
     val typedPost = post.select("term", "doc_id", "tf", "dl").as[PostingRow]
     val done: Set[Int] = completedBatches(spark, outDir)
@@ -302,17 +329,14 @@ object IndexBuild {
         if (singleBatch) typedPost
         else typedPost.filter(col("doc_id") % cfg.nBatches === b)
       val segs = buildSegments(batchPost, headDf, cfg, numPartitions)
-      val segDir = if (singleBatch) s"$outDir/index" else s"$outDir/segments/batch=$b"
-      phase(s"segments write b=$b")(segs.toDF.write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(segDir))
+      val segTable = if (singleBatch) "index" else s"segments/batch=$b"
+      phase(s"segments write b=$b")(store.write(segs.toDF, segTable,
+        SaveMode.Overwrite, partitionBy = Seq("bucket")))
       // lineage LAST — the batch's commit point (north_rule).
-      // posting_bytes from the filesystem (no data re-read); term/posting
+      // posting_bytes from the store (no data re-read); term/posting
       // counts from a columnar agg that skips the bytes column.
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(segDir)).getLength
-      val lin = spark.read.parquet(segDir)
+      val bytes = store.sizeInBytes(segTable)
+      val lin = store.read(segTable)
         .agg(
           countDistinct(col("term")).as("term_count"),
           coalesce(sum(col("doc_count")), lit(0L)).as("posting_count"))
@@ -323,14 +347,14 @@ object IndexBuild {
           col("term_count"), col("posting_count"),
           lit("COMPLETE").as("status"),
           current_timestamp().as("ts"))
-      phase("lineage")(lin.write.mode(SaveMode.Append).parquet(s"$outDir/lineage"))
+      phase("lineage")(store.write(lin, "lineage", SaveMode.Append))
       built += 1
     }
     analyzed.unpersist()
     if (singleBatch && built > 0) {
       // the direct-to-index write IS the merged index, as of batch 0
-      spark.range(1).select(lit(0).as("as_of_batch"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/index_meta")
+      store.write(spark.range(1).select(lit(0).as("as_of_batch")),
+        "index_meta", SaveMode.Overwrite)
     }
     built
   }
@@ -340,7 +364,7 @@ object IndexBuild {
     // first build: no lineage table yet — Spark surfaces the missing path
     // as AnalysisException or (local fs) FileNotFoundException
     try {
-      spark.read.parquet(s"$outDir/lineage")
+      TableStore.open(spark, outDir).read("lineage")
         .filter(col("status") === "COMPLETE")
         .select("partition_id").as[Int].collect().toSet
     } catch { case scala.util.control.NonFatal(_) => Set.empty }
@@ -352,11 +376,11 @@ object IndexBuild {
     * as the final `index`. */
   def mergeSegments(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._
+    val store = TableStore.open(spark, outDir)
     // single-batch builds write segments directly to index/ — nothing to merge
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/segments"))) return
-    val segs = spark.read.parquet(s"$outDir/segments")
-    segs.select("bucket", "term", "shard", "doc_count", "block_max", "postings")
+    if (!store.exists("segments")) return
+    val segs = store.read("segments")
+    val merged = segs.select("bucket", "term", "shard", "doc_count", "block_max", "postings")
       .as[(Int, String, Int, Int, Double, Array[Byte])]
       .groupByKey { case (bucket, term, shard, _, _, _) => (bucket, term, shard) }
       .mapGroups { (key: (Int, String, Int), rows: Iterator[(Int, String, Int, Int, Double, Array[Byte])]) =>
@@ -367,12 +391,11 @@ object IndexBuild {
           PostingCodec.merge(parts.map(_._6)))
       }
       .toDF
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$outDir/index")
+    store.write(merged, "index", SaveMode.Overwrite, partitionBy = Seq("bucket"))
     // high-water mark for incremental refresh (Refresh.mergeWithTombstones)
-    val maxBatch = spark.read.parquet(s"$outDir/segments")
+    val maxBatch = store.read("segments")
       .agg(max(col("batch"))).collect()(0).getInt(0)
-    spark.range(1).select(lit(maxBatch).as("as_of_batch"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/index_meta")
+    store.write(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
+      "index_meta", SaveMode.Overwrite)
   }
 }

@@ -1,11 +1,11 @@
 package graft.index
 
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Lemmatizer, PostingCodec}
 import graft.corpus.PageRow
+import graft.store.TableStore
 
 /** Incremental page refresh / delete — the rebuild of the reference's
   * `POST /api/indexPage` (IndexServiceImpl.java:84-115): the reference
@@ -27,21 +27,18 @@ import graft.corpus.PageRow
   */
 object Refresh {
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
-
-  private def exists(spark: SparkSession, p: String): Boolean =
-    fs(spark).exists(new Path(p))
-
   /** High-water batch id the current `index` dir is merged up to. */
-  def indexAsOf(spark: SparkSession, outDir: String): Int =
-    if (!exists(spark, s"$outDir/index_meta")) 0
-    else spark.read.parquet(s"$outDir/index_meta").collect()(0).getAs[Int]("as_of_batch")
+  def indexAsOf(spark: SparkSession, outDir: String): Int = {
+    val store = TableStore.open(spark, outDir)
+    if (!store.exists("index_meta")) 0
+    else store.read("index_meta").collect()(0).getAs[Int]("as_of_batch")
+  }
 
   private def nextBatch(spark: SparkSession, outDir: String): Int = {
     import spark.implicits._
+    val store = TableStore.open(spark, outDir)
     val fromLineage =
-      try spark.read.parquet(s"$outDir/lineage").agg(max("partition_id"))
+      try store.read("lineage").agg(max("partition_id"))
         .as[Int].collect().headOption.getOrElse(-1)
       catch { case scala.util.control.NonFatal(_) => -1 }
     math.max(fromLineage, indexAsOf(spark, outDir)) + 1
@@ -53,9 +50,11 @@ object Refresh {
   def refreshPages(spark: SparkSession, outDir: String, pages: Dataset[PageRow],
       cfg: IndexBuild.Config = IndexBuild.Config()): Unit = {
     import spark.implicits._
+    val store = TableStore.open(spark, outDir)
     val batch = nextBatch(spark, outDir)
 
-    val analyzed = pages.select(col("url"), col("html"), col("lang"))
+    val analyzed = IndexBuild.filterValidCode(pages) // F1, as in the build
+      .select(col("url"), col("html"), col("lang"))
       .as[(String, Array[Byte], String)]
       .map { case (url, html, lang) =>
         val text = graft.core.HtmlText.cleanToTextFast(html)
@@ -73,34 +72,34 @@ object Refresh {
     val post = analyzed.select(col("doc_id"),
         explode(col("terms")).as(Seq("term", "tf")), col("dl"))
       .select("term", "doc_id", "tf", "dl").as[PostingRow]
-    val headDf =
-      if (exists(spark, s"$outDir/head_terms")) spark.read.parquet(s"$outDir/head_terms")
-      else Seq.empty[String].toDF("term")
-    IndexBuild.buildSegments(post, headDf, cfg, spark.sparkContext.defaultParallelism)
-      .toDF.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$outDir/segments/batch=$batch")
+    val headDf = store.readOpt("head_terms")
+      .getOrElse(Seq.empty[String].toDF("term"))
+    store.write(
+      IndexBuild.buildSegments(post, headDf, cfg,
+        spark.sparkContext.defaultParallelism).toDF,
+      s"segments/batch=$batch", SaveMode.Overwrite, partitionBy = Seq("bucket"))
 
-    analyzed.select(col("doc_id"), lit(batch).as("as_of_batch"))
-      .write.mode(SaveMode.Append).parquet(s"$outDir/tombstones")
+    store.write(analyzed.select(col("doc_id"), lit(batch).as("as_of_batch")),
+      "tombstones", SaveMode.Append)
 
     // refresh docs dim: latest row per url wins
     val newDocs = analyzed.select("doc_id", "url", "site", "lang", "dl")
-    val oldDocs = spark.read.parquet(s"$outDir/docs")
+    val oldDocs = store.read("docs")
     val mergedDocs = oldDocs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
       .union(newDocs)
-    writeReplacing(spark, mergedDocs, s"$outDir/docs")
+    store.replace(mergedDocs, "docs")
 
     // lineage commit row for the delta
     val nNew = analyzed.count()
-    spark.range(1).select(
+    store.write(spark.range(1).select(
       lit(batch).as("partition_id"),
       lit(s"refresh batch $batch").as("doc_range"),
       lit(0L).as("posting_bytes"),
       lit(0L).as("term_count"),
       lit(nNew).as("posting_count"),
       lit("COMPLETE").as("status"),
-      current_timestamp().as("ts"))
-      .write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+      current_timestamp().as("ts")),
+      "lineage", SaveMode.Append)
     analyzed.unpersist()
 
     mergeWithTombstones(spark, outDir, cfg)
@@ -110,98 +109,96 @@ object Refresh {
   def deletePages(spark: SparkSession, outDir: String, urls: Seq[String],
       cfg: IndexBuild.Config = IndexBuild.Config()): Unit = {
     import spark.implicits._
+    val store = TableStore.open(spark, outDir)
     val batch = nextBatch(spark, outDir)
-    urls.map(u => (IndexBuild.stableDocId(u), batch)).toDF("doc_id", "as_of_batch")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/tombstones")
+    store.write(
+      urls.map(u => (IndexBuild.stableDocId(u), batch)).toDF("doc_id", "as_of_batch"),
+      "tombstones", SaveMode.Append)
     val ids = urls.map(IndexBuild.stableDocId)
-    val docs = spark.read.parquet(s"$outDir/docs")
+    val docs = store.read("docs")
       .filter(!col("doc_id").isin(ids: _*))
-    writeReplacing(spark, docs, s"$outDir/docs")
+    store.replace(docs, "docs")
     mergeWithTombstones(spark, outDir, cfg)
   }
 
   /** Sort-merge base index + delta batches with equality deletes applied
     * (posting alive ⇔ its batch ≥ the doc's max tombstone), then rebuild
-    * the derived aggregates so query-time pruning stays exact. */
+    * the derived aggregates so query-time pruning stays exact.
+    *
+    * Fully distributed: tombstones are joined as a TABLE (Spark picks
+    * broadcast-hash for a small tombstone set, sort-merge for a huge one —
+    * no driver-side collection either way), and lemma_stats derives from
+    * the SAME decoded pass that feeds the re-encode (persisted once), so
+    * the index is decoded exactly once per merge. The Iceberg production
+    * mapping is MERGE INTO with equality-delete files + a compaction job;
+    * this is that compaction expressed over parquet. */
   def mergeWithTombstones(spark: SparkSession, outDir: String,
       cfg: IndexBuild.Config): Unit = {
     import spark.implicits._
+    val store = TableStore.open(spark, outDir)
     val asOf = indexAsOf(spark, outDir)
 
-    val tomb: Map[Long, Int] =
-      if (!exists(spark, s"$outDir/tombstones")) Map.empty
-      else spark.read.parquet(s"$outDir/tombstones")
-        .groupBy("doc_id").agg(max("as_of_batch").as("b"))
-        .as[(Long, Int)].collect().toMap
-    val tombB = spark.sparkContext.broadcast(tomb)
+    val tombDf = store.readOpt("tombstones")
+      .map(_.groupBy("doc_id").agg(max("as_of_batch").as("tomb_batch")))
+      .getOrElse(Seq.empty[(Long, Int)].toDF("doc_id", "tomb_batch"))
 
-    val base = spark.read.parquet(s"$outDir/index")
-      .select(lit(asOf).as("batch"), col("bucket"), col("term"), col("shard"), col("postings"))
-    val deltas =
-      if (!exists(spark, s"$outDir/segments")) base.limit(0)
-      else spark.read.parquet(s"$outDir/segments")
-        .filter(col("batch") > asOf)
-        .select(col("batch"), col("bucket"), col("term"), col("shard"), col("postings"))
+    val base = store.read("index")
+      .select(lit(asOf).as("batch"), col("term"), col("shard"), col("postings"))
+    val deltas = store.readOpt("segments")
+      .map(_.filter(col("batch") > asOf)
+        .select(col("batch"), col("term"), col("shard"), col("postings")))
+      .getOrElse(base.limit(0))
     val maxBatch = nextBatch(spark, outDir) - 1
 
-    val merged = base.union(deltas)
-      .as[(Int, Int, String, Int, Array[Byte])]
-      .groupByKey { case (_, bucket, term, shard, _) => (bucket, term, shard) }
-      .mapGroups { (key: (Int, String, Int), rows: Iterator[(Int, Int, String, Int, Array[Byte])]) =>
-        val (bucket, term, shard) = key
-        val t = tombB.value
-        val alive = rows.toSeq.flatMap { case (batch, _, _, _, bytes) =>
-          PostingCodec.decode(bytes).filter(p => t.getOrElse(p.docId, Int.MinValue) <= batch)
-        }.sortBy(_.docId).toArray
-        SegmentRow(bucket, term, shard, 0, alive.length,
-          if (alive.isEmpty) 0.0 else alive.map(_.tf).max.toDouble,
-          PostingCodec.encode(alive))
+    // ONE decode pass; alive rows feed both the re-encode and lemma_stats
+    val exploded = base.union(deltas)
+      .as[(Int, String, Int, Array[Byte])]
+      .flatMap { case (batch, term, shard, bytes) =>
+        PostingCodec.decode(bytes).iterator.map(p =>
+          (batch, term, shard, p.docId, p.tf, p.dl))
       }
-      .filter(_.doc_count > 0)
+      .toDF("batch", "term", "shard", "doc_id", "tf", "dl")
+    val alive = exploded
+      .join(tombDf, Seq("doc_id"), "left")
+      .filter(col("tomb_batch").isNull || col("tomb_batch") <= col("batch"))
+      .select("term", "shard", "doc_id", "tf", "dl")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // write-aside then swap (can't overwrite a dir being read)
-    merged.toDF.write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$outDir/index_new")
-    val f = fs(spark)
-    f.delete(new Path(s"$outDir/index"), true)
-    f.rename(new Path(s"$outDir/index_new"), new Path(s"$outDir/index"))
-    spark.catalog.refreshByPath(s"$outDir/index")
-    spark.range(1).select(lit(maxBatch).as("as_of_batch"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/index_meta")
+    val numPartitions = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val merged = alive
+      .repartition(numPartitions, col("term"), col("shard"))
+      .sortWithinPartitions("term", "shard", "doc_id")
+      .as[(String, Int, Long, Long, Long)]
+      .mapPartitions(it => IndexBuild.encodeSortedPartition(it, cfg.buckets))
 
-    // rebuild derived aggregates from the merged index (exact df for the
-    // 80% pruning rule) — scale note in the object scaladoc
-    val docsDim = spark.read.parquet(s"$outDir/docs")
-    val postAll = spark.read.parquet(s"$outDir/index")
-      .select("term", "postings").as[(String, Array[Byte])]
-      .flatMap { case (term, bytes) =>
-        PostingCodec.decode(bytes).iterator.map(p => (term, p.docId, p.dl))
-      }
-      .toDF("term", "doc_id", "dl")
-    writeReplacing(spark,
-      postAll.join(docsDim.select("doc_id", "site"), Seq("doc_id"))
+    // atomic replace (parquet: write-aside + swap; iceberg: RTAS commit)
+    store.replace(merged.toDF, "index", partitionBy = Seq("bucket"))
+    store.write(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
+      "index_meta", SaveMode.Overwrite)
+
+    // derived aggregates from the SAME alive rows (exact df for the 80%
+    // pruning rule) — no second decode of the merged index
+    val docsDim = store.read("docs")
+    store.replace(
+      alive.join(docsDim.select("doc_id", "site"), Seq("doc_id"))
         .groupBy("term", "site").agg(count(lit(1)).as("df")),
-      s"$outDir/lemma_stats")
-    val shards = spark.read.parquet(s"$outDir/stats").collect()(0).getAs[Int]("shards")
-    writeReplacing(spark,
+      "lemma_stats")
+    alive.unpersist()
+    val prevStats = store.read("stats").collect()(0)
+    val shards = prevStats.getAs[Int]("shards")
+    val nBatches = // carried forward; older indexes predate the column
+      try prevStats.getAs[Int]("n_batches") catch { case _: Exception => 1 }
+    store.replace(
       docsDim.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("doc_id")).as("n_distinct"),
         avg(col("dl")).as("avgdl"),
         sum(col("dl")).as("total_tokens"))
-        .withColumn("shards", lit(shards)),
-      s"$outDir/stats")
+        .withColumn("shards", lit(shards))
+        .withColumn("n_batches", lit(nBatches)),
+      "stats")
   }
 
-  /** Overwrite a parquet dir that is also the read source: write aside,
-    * delete, rename, and invalidate the session's plan/file-listing caches
-    * for the path — a previously built SearchEngine has these paths
-    * `.cache()`d and would otherwise keep serving the pre-refresh data. */
-  private def writeReplacing(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path.__new")
-    val f = fs(spark)
-    f.delete(new Path(path), true)
-    f.rename(new Path(s"$path.__new"), new Path(path))
-    spark.catalog.refreshByPath(path)
-  }
 }

@@ -1,0 +1,133 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Storage abstraction for every engine table (SURVEY.md §7.3's decision
+  * table: format = parquet in-sandbox, iceberg in production per the
+  * north_star's "Iceberg table of Common-Crawl-style web pages").
+  *
+  * One store instance is rooted at a directory (an index dir, or a corpus
+  * table when `table = ""`); tables are addressed by relative name
+  * (`docs`, `lemma_stats`, `stats`, `head_terms`, `lineage`,
+  * `tombstones`, `index`, `index_meta`, `segments/batch=N`).
+  *
+  * Iceberg mapping (the production implementation this interface is the
+  * seam for — the sandbox ships no iceberg-spark-runtime jars, so only
+  * the parquet implementation is compiled):
+  *  - `read(t)`       → `spark.table("cat.db.t")` — snapshot-isolated scan
+  *  - `write(Append)` → `df.writeTo("cat.db.t").append()` — atomic commit
+  *  - `replace(t)`    → `df.writeTo("cat.db.t").replace()` (REPLACE TABLE
+  *                      AS SELECT): one atomic snapshot swap instead of the
+  *                      parquet write-aside/delete/rename dance
+  *  - refresh (S6)    → MERGE INTO + equality-delete files; the
+  *                      `tombstones` table becomes Iceberg's own equality
+  *                      deletes, and `mergeWithTombstones` its compaction
+  *  - cascade undo    → snapshot rollback (`CALL cat.system.rollback_to…`)
+  *  - `fingerprint`   → the table's current snapshot id (exact, no mtime
+  *                      heuristics)
+  *  - `segments/batch=N` → one `segments` table partitioned by (batch,
+  *                      bucket); per-batch writes are partition overwrites
+  */
+trait TableStore {
+  def spark: SparkSession
+  def root: String
+
+  def read(table: String): DataFrame
+  def exists(table: String): Boolean
+  def readOpt(table: String): Option[DataFrame] =
+    if (exists(table)) Some(read(table)) else None
+
+  def write(df: DataFrame, table: String, mode: SaveMode,
+      partitionBy: Seq[String] = Nil): Unit
+
+  /** Overwrite a table that may concurrently be a read source: stage,
+    * atomically promote, and invalidate session caches for the location.
+    * (Iceberg: a single REPLACE TABLE AS SELECT commit.) */
+  def replace(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
+
+  /** Physical size of a table — lineage metrics (posting_bytes). */
+  def sizeInBytes(table: String): Long
+
+  /** Change-detection stamp over the given tables: differs whenever any
+    * of them was replaced/appended. (Iceberg: xor of snapshot ids.) */
+  def fingerprint(tables: Seq[String]): Long
+
+  /** Drop a table (delete delta dirs on refresh compaction, etc.). */
+  def drop(table: String): Unit
+}
+
+object TableStore {
+  /** Format flag per SURVEY §7.3. `parquet` is the in-sandbox
+    * implementation; `iceberg` requires the iceberg-spark-runtime jars
+    * (not shipped here) and maps per the trait scaladoc. */
+  def open(spark: SparkSession, root: String): TableStore =
+    sys.env.getOrElse("SPARK_GRAFT_TABLE_FORMAT", "parquet") match {
+      case "parquet" => new ParquetStore(spark, root)
+      case "iceberg" => throw new UnsupportedOperationException(
+        "iceberg store: add iceberg-spark-runtime to the classpath and " +
+          "implement via writeTo/replace per the TableStore scaladoc mapping")
+      case other => throw new IllegalArgumentException(
+        s"unknown SPARK_GRAFT_TABLE_FORMAT '$other' (parquet|iceberg)")
+    }
+}
+
+/** Parquet-directory implementation: each table is `$root/$table`
+  * (table "" = the root itself, for single-table corpus paths). */
+final class ParquetStore(val spark: SparkSession, val root: String)
+    extends TableStore {
+
+  private def pathOf(table: String): String =
+    if (table.isEmpty) root else s"$root/$table"
+
+  private def fs: FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  override def read(table: String): DataFrame =
+    spark.read.parquet(pathOf(table))
+
+  override def exists(table: String): Boolean =
+    fs.exists(new Path(pathOf(table)))
+
+  override def write(df: DataFrame, table: String, mode: SaveMode,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(pathOf(table))
+  }
+
+  override def replace(df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val path = pathOf(table)
+    val staged = s"$path.__new"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staged)
+    val f = fs
+    f.delete(new Path(path), true)
+    f.rename(new Path(staged), new Path(path))
+    // drop any cached plans/file listings for the location — readers
+    // re-list on next access
+    spark.catalog.refreshByPath(path)
+  }
+
+  override def sizeInBytes(table: String): Long =
+    fs.getContentSummary(new Path(pathOf(table))).getLength
+
+  override def fingerprint(tables: Seq[String]): Long = {
+    val f = fs
+    def stamp(table: String): Long =
+      try {
+        val st = f.getFileStatus(new Path(pathOf(table)))
+        st.getModificationTime ^ (st.getLen * 0x9e3779b97f4a7c15L)
+      } catch { case _: java.io.IOException => 0L }
+    tables.zipWithIndex.foldLeft(0L) { case (acc, (t, i)) =>
+      acc ^ java.lang.Long.rotateLeft(stamp(t), i * 17)
+    }
+  }
+
+  override def drop(table: String): Unit = {
+    fs.delete(new Path(pathOf(table)), true)
+    ()
+  }
+}

@@ -45,29 +45,66 @@ object EventsStream {
   final case class SessionUpdate(user_id: Long, n_events: Long, sum_value: Double, closed: Boolean)
   final case class SessState(n: Long, sum: Double, lastTsMs: Long)
 
-  /** Custom session state: 30-minute-gap sessions per user, emitted when
-    * the gap closes — mapGroupsWithState form of DocOps.sessionize. */
-  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionUpdate] = {
+  /** Custom session state: `gapMinutes`-gap sessions per user, emitted
+    * when the gap closes — flatMapGroupsWithState form of
+    * DocOps.sessionize.
+    *
+    * With `idleTimeout = true` (the production default) the state uses
+    * EventTimeTimeout against a `watermarkDelay` watermark: a user's
+    * final session is EMITTED AND ITS STATE REMOVED once the watermark
+    * passes lastEvent + gap — on a real endless feed state never leaks.
+    * `idleTimeout = false` is the bounded-replay parity mode (the q34
+    * oracle defines exactly the sessions closed by a later event, so the
+    * parity query must not add timeout-closed ones). */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30,
+      idleTimeout: Boolean = true,
+      watermarkDelay: String = "2 hours"): Dataset[SessionUpdate] = {
     import spark.implicits._
-    events
-      .selectExpr("user_id", "cast(ts as long) * 1000 as ts_ms", "value")
-      .as[(Long, Long, Double)]
+    val gapMs = gapMinutes.toLong * 60L * 1000L
+
+    // the watermarked `ts` column must survive INTO the grouped input
+    // (a typed map would SerializeFromObject it away and fail the
+    // event-time-timeout analysis check), so rows carry it as _4 unused
+    def foldEvents(user: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+        state: GroupState[SessState]): Iterator[SessionUpdate] = {
+      // within a micro-batch rows are not ordered; sort locally
+      val sorted = rows.toSeq.sortBy(_._2)
+      var st = state.getOption.getOrElse(SessState(0L, 0.0, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+      for ((_, tsMs, v, _) <- sorted) {
+        if (st.n > 0L && tsMs - st.lastTsMs > gapMs) {
+          out += SessionUpdate(user, st.n, st.sum, closed = true)
+          st = SessState(0L, 0.0, Long.MinValue)
+        }
+        st = SessState(st.n + 1, st.sum + v, tsMs)
+      }
+      state.update(st)
+      if (idleTimeout && st.n > 0L) {
+        // fire when the watermark passes the session's gap horizon; must
+        // be strictly beyond the current watermark (late-data guard)
+        state.setTimeoutTimestamp(
+          math.max(st.lastTsMs + gapMs, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.iterator
+    }
+
+    val src = if (idleTimeout) events.withWatermark("ts", watermarkDelay) else events
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
+      .selectExpr("user_id", "cast(ts as long) * 1000 as ts_ms", "value", "ts")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessState]) => {
-          // within a micro-batch rows are not ordered; sort locally
-          val sorted = rows.toSeq.sortBy(_._2)
-          var st = state.getOption.getOrElse(SessState(0L, 0.0, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-          for ((_, tsMs, v) <- sorted) {
-            if (st.n > 0L && tsMs - st.lastTsMs > 30L * 60 * 1000) {
-              out += SessionUpdate(user, st.n, st.sum, closed = true)
-              st = SessState(0L, 0.0, Long.MinValue)
-            }
-            st = SessState(st.n + 1, st.sum + v, tsMs)
-          }
-          state.update(st)
-          out.iterator
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (user: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+            state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            // idle session closed by watermark passage — emit and free state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(user, st.n, st.sum, closed = true))
+          } else foldEvents(user, rows, state)
         })
   }
 

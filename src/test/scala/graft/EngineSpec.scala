@@ -73,7 +73,9 @@ class EngineSpec extends AnyFunSuite {
     (s"$ultraRare1 $ultraRare2", None), // likely zero-result conjunction
     (s"$commonForm $midLemma", Some("https://site1.test")), // site-scoped
     ("the quick brown fox", None), // latin-only ⇒ zero lemmas
-    (s"и на $midLemma", None) // short particles destroyed by len filter
+    (s"и на $midLemma", None), // short particles destroyed by len filter
+    (s"ёж $midLemma", None), // ё-word destroyed (F4) ⇒ single-term query
+    ("есть", None) // stop lemma alone ⇒ ALL query terms prune (F5)
   )
 
   test("per-row invariant: html_to_text(html) == text, byte-identical per url (input_hint)") {
@@ -175,12 +177,43 @@ class EngineSpec extends AnyFunSuite {
     a.keys.foreach(k => assert(a(k) == b(k), s"segment bytes differ for $k"))
   }
 
-  test("statistics: per-site page and lemma counts (A7/A8)") {
+  test("statistics: per-site rows + TOTAL row with status lifecycle (A7/A8, reference parity)") {
     built
     val rows = Statistics.compute(spark, indexDir).collect()
-    assert(rows.map(_.getAs[Long]("pages")).sum == corpusCfg.nDocs)
-    assert(rows.length == corpusCfg.nSites)
-    rows.foreach(r => assert(r.getAs[Long]("lemmas") > 0))
+    val (total, perSite) = rows.partition(_.getAs[String]("site") == "TOTAL")
+    assert(total.length == 1 && perSite.length == corpusCfg.nSites)
+    assert(perSite.map(_.getAs[Long]("pages")).sum == corpusCfg.nDocs)
+    assert(total(0).getAs[Long]("pages") == corpusCfg.nDocs)
+    assert(total(0).getAs[Long]("lemmas") == perSite.map(_.getAs[Long]("lemmas")).sum)
+    rows.foreach { r =>
+      // full reference shape (DetailedStatisticsItem + TotalStatistics):
+      // completed build ⇒ INDEXED, a commit timestamp, no error
+      assert(r.getAs[String]("status") == "INDEXED")
+      assert(r.getAs[java.sql.Timestamp]("status_time") != null)
+      assert(r.getAs[String]("error") == null)
+      assert(r.getAs[Long]("lemmas") > 0)
+    }
+  }
+
+  test("F1: pages with invalid HTTP codes never reach the index (code column honored when present)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-f1").toString
+    CorpusGen.generateWithCodes(spark, CorpusGen.Config(2, 50))
+      .write.mode("overwrite").parquet(s"$work/pages")
+    val wide = spark.read.parquet(s"$work/pages")
+    val bad = wide.filter(!col("code").isin(IndexBuild.ValidHttpCodes: _*))
+      .select("url").as[String].collect().toSet
+    val valid308 = wide.filter(col("code") === 308).count()
+    assert(bad.nonEmpty, "fixture must contain invalid-code pages")
+    assert(valid308 > 0, "fixture must contain valid 308 redirects")
+    IndexBuild.run(spark,
+      wide.as[PageRow](org.apache.spark.sql.Encoders.product[PageRow]),
+      s"$work/idx", IndexBuild.Config(nBatches = 1, saltThresholdDf = 60L))
+    val indexed = spark.read.parquet(s"$work/idx/docs")
+      .select("url").as[String].collect().toSet
+    assert(bad.forall(u => !indexed.contains(u)), "invalid-code page was indexed")
+    assert(indexed.size.toLong == 100L - bad.size)
   }
 
   test("salted head terms exist and shard-local conjunction still matches the oracle") {

@@ -43,7 +43,15 @@ class GoldenSpec extends AnyFunSuite {
       (RuDict.formsOf(l(80))(1), None),
       (s"${l(2)} ${l(3)}", None),
       (s"${l(5)} ${l(60)}", Some("https://site0.test")),
-      (s"${l(10)} ${l(150)}", None))
+      (s"${l(10)} ${l(150)}", None),
+      // ── adversarial quirk cases (the tokenizer/pruning rules exist for
+      // these; each line freezes the exact degenerate behavior) ──
+      (s"ёж ${RuDict.formsOf(l(25))(2)}", None), // «ёж»→«ж» dropped (F4) ⇒ single-term query
+      ("ёлка всё ёж", None), // ё-damage is SYMMETRIC: «ёлка»→«лка» matches docs damaged the same way at index time
+      ("столами", None), // OOV inflection ⇒ df=0 ⇒ empty conjunction
+      ("и на под о", None), // particle/len<3 only ⇒ zero lemmas (F2/F3)
+      ("есть", None), // planted stop lemma alone ⇒ ALL terms prune (F5)
+      (s"есть был будет", None)) // every term a form of the pruned stop lemma
   }
 
   lazy val engine: (SearchEngine, SearchEngine) = {

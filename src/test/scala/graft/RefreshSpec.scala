@@ -102,4 +102,70 @@ class RefreshSpec extends AnyFunSuite {
     assert(engine3.search(l(150), 0, 30, None).data.exists(i => i.site + i.uri == targetUrl),
       "newest version's terms must match")
   }
+
+  test("a LIVE engine detects a delete under it and reloads all caches (fingerprint check)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft-refresh-live").toString
+    val pages = CorpusGen.generate(spark, CorpusGen.Config(2, 60)).collect().toSeq
+    import spark.implicits._
+    spark.createDataset(pages).write.mode("overwrite").parquet(s"$work/pages")
+    val ds = spark.read.parquet(s"$work/pages")
+      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    IndexBuild.run(spark, ds, s"$work/idx", idxCfg)
+    IndexBuild.mergeSegments(spark, s"$work/idx")
+
+    val engine = new SearchEngine(spark, s"$work/idx", s"$work/pages", ReferenceTfSum)
+    val q = RuDict.contentLemmas(5)
+    val before = engine.search(q, 0, 100, None) // warms df + posting caches
+    assert(before.count > 0)
+    val victim = before.data.head
+    val victimUrl = victim.site + victim.uri
+
+    Refresh.deletePages(spark, s"$work/idx", Seq(victimUrl), idxCfg)
+
+    // SAME engine instance — previously served deleted postings from the
+    // driver posting cache with zero Spark jobs (latent bug, ADVICE r01)
+    val after = engine.search(q, 0, 100, None)
+    assert(after.count == before.count - 1,
+      s"live engine served stale results: ${after.count} vs ${before.count}")
+    assert(!after.data.exists(i => i.site + i.uri == victimUrl))
+    assert(engine.nDocs == pages.size.toLong - 1)
+    // pagination path must not serve the pre-delete cached ranking either
+    val paged = engine.search(q, 1, 100, None)
+    assert(!paged.data.exists(i => i.site + i.uri == victimUrl))
+  }
+
+  test("merge with a LARGE tombstone set stays rank-identical (distributed tombstone join)") {
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft-refresh-big").toString
+    val pages = CorpusGen.generate(spark, corpusCfg).collect().toSeq
+    import spark.implicits._
+    spark.createDataset(pages).write.mode("overwrite").parquet(s"$work/pages")
+    val ds = spark.read.parquet(s"$work/pages")
+      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    IndexBuild.run(spark, ds, s"$work/idx", idxCfg)
+    IndexBuild.mergeSegments(spark, s"$work/idx")
+
+    // tombstone ~2/3 of the corpus in one delete batch
+    val toDelete = pages.map(_.url).zipWithIndex.collect { case (u, i) if i % 3 != 0 => u }
+    assert(toDelete.size > 100)
+    Refresh.deletePages(spark, s"$work/idx", toDelete, idxCfg)
+
+    val remaining = pages.filterNot(p => toDelete.contains(p.url))
+    spark.createDataset(remaining).write.mode("overwrite").parquet(s"$work/pages_rem")
+    val oracle = new RefOracle.Corpus(remaining.map { r =>
+      RefOracle.Doc(r.url, IndexBuild.siteOf(r.url),
+        new String(r.html, StandardCharsets.UTF_8))
+    })
+    val engine = new SearchEngine(spark, s"$work/idx", s"$work/pages_rem", ReferenceTfSum)
+    assert(engine.nDocs == remaining.size.toLong)
+    val l = RuDict.contentLemmas
+    for (q <- Seq(l(0), s"${l(0)} ${l(20)}", s"${l(1)} ${l(30)}")) {
+      val exp = RefOracle.search(oracle, q, None, ReferenceTfSum)
+      val got = engine.search(q, 0, 50, None)
+      assert(got.count == exp.count.toLong, s"count mismatch for '$q' after bulk delete")
+      assert(got.data.map(i => i.site + i.uri) == exp.results.take(50).map(_.url),
+        s"ranking mismatch for '$q' after bulk delete")
+    }
+  }
 }

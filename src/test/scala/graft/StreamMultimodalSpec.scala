@@ -32,7 +32,7 @@ class StreamingSpec extends AnyFunSuite {
   test("flatMapGroupsWithState sessionization emits exactly the closed sessions of the batch result") {
     spark.sparkContext.setLogLevel("WARN")
     val sess = EventsStream.sessionize(spark,
-      EventsStream.readEvents(spark, dir))
+      EventsStream.readEvents(spark, dir), idleTimeout = false)
     val q = EventsStream.runToMemory(spark, sess.toDF, "sess_test")
     try {
       val got = spark.table("sess_test")
@@ -45,6 +45,35 @@ class StreamingSpec extends AnyFunSuite {
         .select("user_id", "n_events", "sum_value")
         .collect().map(_.toSeq).toSet
       assert(got == closed)
+    } finally q.stop()
+  }
+
+  test("sessionize with EventTimeTimeout closes an idle session once the watermark passes its gap horizon") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = ms.toDF.toDF("user_id", "ts", "value")
+    val sess = EventsStream.sessionize(spark, df,
+      gapMinutes = 30, idleTimeout = true, watermarkDelay = "10 minutes")
+    val q = sess.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_test").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+      ms.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0))
+      q.processAllAvailable()
+      // watermark (t0-5min) hasn't passed user 1's horizon (t0+35min) yet
+      assert(spark.table("sess_timeout_test").isEmpty)
+      // a much-later event advances the watermark to t0+110min > horizon:
+      // user 1's idle session must emit WITHOUT any further user-1 event
+      ms.addData((2L, ts(120), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout_test")
+        .select("user_id", "n_events", "sum_value", "closed")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(rows == Set((1L, 2L, 3.0, true)))
     } finally q.stop()
   }
 }
