@@ -25,7 +25,10 @@ import graft.queryengine.SearchEngine
   *     4.28x for 1→4, 3.38x (0.845) for 2→8 and 4→16, and 2.86x (0.71)
   *     for 8→32 (SMT siblings beyond ~16 workers) — no job can beat its
   *     hardware ceiling, so the 0.8-efficiency criterion is only
-  *     demonstrable inside the linear region, 1→4;
+  *     demonstrable inside the linear region, 1→4. Each trial runs the
+  *     builds in a hi–lo–hi bracket with pre/post ceilings (see Trial):
+  *     the shared host throttles unpredictably at hypervisor level, and
+  *     bracketing makes each trial's ratio robust to linear drift;
   *  3. warm p50/p95 top-10 BM25 query latency over the fixture query set
   *     (pruned block-max WAND path).
   */
@@ -100,7 +103,9 @@ object Bench {
 
     val pLow = sys.env.getOrElse("SPARK_GRAFT_P_LOW", "1").toInt
     val pHigh = sys.env.getOrElse("SPARK_GRAFT_P_HIGH", "4").toInt
-    val nTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt
+    // target count of STABLE (undrifted) trials; the adaptive loop below
+    // keeps adding trials up to SPARK_GRAFT_MAX_TRIALS until reached
+    val nTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     var p50Ms = 0.0
     var p95Ms = 0.0
     var p50ColdMs = 0.0
@@ -108,13 +113,52 @@ object Bench {
     var queryTimes = Map.empty[String, Double]
     val queryErrors = scala.collection.mutable.ListBuffer.empty[String]
 
-    /** One scaling trial: ceiling measured NEXT TO the pair of fresh-JVM
-      * builds it normalizes (the shared host drifts minute-to-minute). */
-    final case class Trial(ceiling: Double, tputLow: Double, tputHigh: Double) {
-      def speedup: Double = if (tputLow > 0) tputHigh / tputLow else 0.0
+    /** One timed fresh-JVM build: raw throughput plus the busy/steal
+      * jiffy deltas BenchBuild read from /proc/stat around the timed
+      * window. The shared host's hypervisor throttle (same builds 3x
+      * slower while the container looks idle) is directly visible as
+      * STEAL time — vCPU runnable but preempted — so each measurement
+      * carries its own contamination evidence. For a CPU-bound build the
+      * steal-free throughput estimate is raw * (busy+steal)/busy. */
+    final case class Measure(tput: Double, busy: Long, steal: Long) {
+      def stealFrac: Double =
+        if (busy + steal <= 0) 0.0 else steal.toDouble / (busy + steal)
+      def tputCorr: Double =
+        if (busy <= 0) tput else tput * (busy + steal).toDouble / busy
+    }
+
+    /** One scaling trial, drift-bracketed: three defenses, all recorded:
+      *  - the LOW run is BRACKETED by two HIGH runs (hi–lo–hi) and the
+      *    high throughput is their mean — linear drift across the trial
+      *    cancels in the ratio;
+      *  - the busy-loop ceiling is measured before AND after the builds;
+      *  - per-build steal fractions from /proc/stat catch throttle that
+      *    hits one side of the ratio steadily (which bracketing can't).
+      * A trial is `drifted` when the hi pair disagrees >25%, the ceilings
+      * disagree >15%, any build lost >5% of its CPU to steal, or the raw
+      * efficiency is impossible (>1.02 — a throttled LOW run). Drifted
+      * trials stay in the report; `stable` medians summarize the rest. */
+    final case class Trial(ceilPre: Double, ceilPost: Double,
+        low: Measure, high1: Measure, high2: Measure) {
+      def tputLow: Double = low.tput
+      def tputHigh: Double = (high1.tput + high2.tput) / 2.0
+      def tputHighCorr: Double = (high1.tputCorr + high2.tputCorr) / 2.0
+      def ceiling: Double = (ceilPre + ceilPost) / 2.0
+      def speedup: Double = if (low.tput > 0) tputHigh / low.tput else 0.0
       def effRaw: Double = speedup / (pHigh.toDouble / pLow)
+      def effCorr: Double =
+        if (low.tputCorr > 0) tputHighCorr / low.tputCorr / (pHigh.toDouble / pLow) else 0.0
       def effVsCeiling: Double = if (ceiling > 0) speedup / ceiling else 0.0
-      def ok: Boolean = tputLow > 0 && tputHigh > 0
+      def maxSteal: Double =
+        Seq(low.stealFrac, high1.stealFrac, high2.stealFrac).max
+      def ok: Boolean = low.tput > 0 && high1.tput > 0 && high2.tput > 0
+      def drifted: Boolean = {
+        val hiRatio = math.max(high1.tput, high2.tput) /
+          math.max(1e-9, math.min(high1.tput, high2.tput))
+        val ceilRatio = math.max(ceilPre, ceilPost) /
+          math.max(1e-9, math.min(ceilPre, ceilPost))
+        hiRatio > 1.25 || ceilRatio > 1.15 || maxSteal > 0.05 || effRaw > 1.02
+      }
     }
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
@@ -122,7 +166,7 @@ object Bench {
     /** Each timed build runs in a FRESH subprocess JVM (see BenchBuild):
       * in-process repetition measurably degrades later sessions (GC/heap
       * accumulation — observed up to 2x on identical work). */
-    def buildAt(threads: Int, outDir: String): Double = {
+    def buildAt(threads: Int, outDir: String): Measure = {
       val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.toArray.map(_.toString)
         .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
@@ -137,10 +181,15 @@ object Bench {
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
       proc.waitFor()
       out.find(_.startsWith("BENCHBUILD_RESULT")) match {
-        case Some(line) => line.split(" ")(1).toDouble
+        case Some(line) =>
+          val parts = line.split(" ")
+          def kv(key: String): Long = parts
+            .collectFirst { case p if p.startsWith(key + "=") => p.drop(key.length + 1).toLong }
+            .getOrElse(0L)
+          Measure(parts(1).toDouble, math.max(kv("busy"), 1L), kv("steal"))
         case None =>
           System.err.println(s"[bench] buildAt($threads) failed:\n${out.takeRight(20).mkString("\n")}")
-          0.0
+          Measure(0.0, 1L, 0L)
       }
     }
 
@@ -153,19 +202,30 @@ object Bench {
         if (!Files.exists(Paths.get(s"$work/pages")))
           CorpusGen.generate(genSpark, corpusCfg).write.parquet(s"$work/pages")
       } finally genSpark.stop()
-      // N trials, each a fresh-JVM pair (fresh JVMs remove the dominant
-      // in-process session bias; per-trial ceilings localize host drift)
-      for (t <- 1 to nTrials) {
-        val ceil = cpuCeiling(pHigh)
+      // Adaptive trial count: the host's throttle windows last minutes, so
+      // a fixed 5-trial run can land entirely inside one — keep running
+      // fresh-JVM hi–lo–hi triples until `nTrials` UNDRIFTED trials exist
+      // (or the hard cap); every trial, drifted or not, is recorded.
+      val maxTrials = sys.env.getOrElse("SPARK_GRAFT_MAX_TRIALS", "9").toInt
+      var t = 0
+      while (t < maxTrials && trials.count(!_.drifted) < nTrials) {
+        t += 1
+        val ceilPre = cpuCeiling(pHigh)
+        val hi1 = buildAt(pHigh, s"$work/t${t}_hi1")
         val lo = buildAt(pLow, s"$work/t${t}_lo")
-        val hi = buildAt(pHigh, s"$work/t${t}_hi")
-        val tr = Trial(ceil, lo, hi)
+        val hi2 = buildAt(pHigh, s"$work/t${t}_hi2")
+        val ceilPost = cpuCeiling(pHigh)
+        val tr = Trial(ceilPre, ceilPost, lo, hi1, hi2)
         if (tr.ok) {
           trials :+= tr
-          lastHiIdx = s"$work/t${t}_hi/idx"
-          System.err.println(f"[bench] trial $t: ceiling ${ceil}%.2fx, " +
-            f"$lo%.0f → $hi%.0f docs/s, eff ${tr.effRaw}%.3f raw / ${tr.effVsCeiling}%.3f vs ceiling")
-        } else System.err.println(s"[bench] trial $t FAILED (lo=$lo hi=$hi) — excluded")
+          lastHiIdx = s"$work/t${t}_hi2/idx"
+          System.err.println(f"[bench] trial $t: ceiling ${tr.ceiling}%.2fx, " +
+            f"${lo.tput}%.0f → (${hi1.tput}%.0f|${hi2.tput}%.0f) docs/s, " +
+            f"steal ${tr.maxSteal * 100}%.1f%%, eff ${tr.effRaw}%.3f raw / " +
+            f"${tr.effCorr}%.3f steal-corr / ${tr.effVsCeiling}%.3f vs ceiling" +
+            s"${if (tr.drifted) " [DRIFTED]" else ""}")
+        } else System.err.println(
+          s"[bench] trial $t FAILED (lo=${lo.tput} hi1=${hi1.tput} hi2=${hi2.tput}) — excluded")
       }
     }
 
@@ -216,34 +276,52 @@ object Bench {
     val ceilMedian = median(trials.map(_.ceiling))
     val tputLowMedian = median(trials.map(_.tputLow))
     val tputHighMedian = median(trials.map(_.tputHigh))
+    // stable = drift-unflagged trials only (all trials stay in the JSON;
+    // if every trial drifted the stable medians fall back to the full set)
+    val stableTrials = { val s = trials.filterNot(_.drifted); if (s.isEmpty) trials else s }
+    val effStableMedian = median(stableTrials.map(_.effRaw))
+    val effCorrMedian = median(trials.map(_.effCorr))
+    val effCorrStableMedian = median(stableTrials.map(_.effCorr))
+    val effVsCeilStableMedian = median(stableTrials.map(_.effVsCeiling))
     val trialsJson = trials.map(t =>
-      s"""{"ceiling":${f"${t.ceiling}%.2f"},"tput_plow":${f"${t.tputLow}%.1f"},"tput_phigh":${f"${t.tputHigh}%.1f"},"eff_raw":${f"${t.effRaw}%.3f"},"eff_vs_ceiling":${f"${t.effVsCeiling}%.3f"}}""")
+      s"""{"ceil_pre":${f"${t.ceilPre}%.2f"},"ceil_post":${f"${t.ceilPost}%.2f"},"tput_plow":${f"${t.tputLow}%.1f"},"tput_phigh1":${f"${t.high1.tput}%.1f"},"tput_phigh2":${f"${t.high2.tput}%.1f"},"steal_frac_plow":${f"${t.low.stealFrac}%.4f"},"steal_frac_phigh1":${f"${t.high1.stealFrac}%.4f"},"steal_frac_phigh2":${f"${t.high2.stealFrac}%.4f"},"eff_raw":${f"${t.effRaw}%.3f"},"eff_steal_corrected":${f"${t.effCorr}%.3f"},"eff_vs_ceiling":${f"${t.effVsCeiling}%.3f"},"drifted":${t.drifted}}""")
       .mkString("[", ",", "]")
     val total = queryTimes.values.sum
     val qs = queryTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errsJson = queryErrors.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"n_trials":${trials.size},"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"n_trials":${trials.size},"n_stable_trials":${stableTrials.size},"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs}""")
 
     // BENCH/BASELINE.md per the measurement protocol in BASELINE.md
     val trialRows = trials.zipWithIndex.map { case (t, i) =>
-      f"| ${i + 1} | ${t.ceiling}%.2fx | ${t.tputLow}%.1f | ${t.tputHigh}%.1f | ${t.effRaw}%.3f | ${t.effVsCeiling}%.3f |"
-    }.mkString("\n")
+      f"| ${i + 1} | ${t.ceilPre}%.2fx/${t.ceilPost}%.2fx | ${t.tputLow}%.1f | ${t.high1.tput}%.1f / ${t.high2.tput}%.1f | ${t.maxSteal * 100}%.1f%% | ${t.effRaw}%.3f | ${t.effCorr}%.3f | ${t.effVsCeiling}%.3f | ${if (t.drifted) "yes" else "no"} |"
+    }.mkString("\n|") // continuation rows carry an extra margin pipe for stripMargin
     new java.io.File("BENCH").mkdirs()
     Files.writeString(Paths.get("BENCH/BASELINE.md"),
       s"""# BENCH results (generated by graft.Bench)
          |
          |Corpus: ${corpusCfg.nDocs} synthetic pages (4 sites, seed 42); index:
          |shards=${idxCfg.shards}, saltThreshold=${idxCfg.saltThresholdDf}, batches=${idxCfg.nBatches}.
-         |Scaling = ${trials.size} trials; each trial = one fresh-JVM build at
-         |local[$pLow] and one at local[$pHigh] (fixed shuffle width 32 at both levels —
-         |a cluster scaling N→4N keeps its partition count and raises concurrency),
-         |with the hardware thread-scaling ceiling (busy-loop 1→$pHigh speedup)
-         |measured immediately before the pair. Median is the headline number.
+         |Scaling = ${trials.size} trials; each trial = fresh-JVM builds in a
+         |hi–lo–hi BRACKET — local[$pHigh], local[$pLow], local[$pHigh] — with the busy-loop
+         |hardware ceiling measured before and after. The high throughput is the
+         |mean of the two bracketing runs, so linear host drift across the trial
+         |cancels in the lo/hi ratio. (Fixed shuffle width 32 at both levels —
+         |a cluster scaling N→4N keeps its partition count and raises
+         |concurrency.) The host is SHARED: hypervisor-level throttle windows
+         |slow identical builds up to 3x while the container looks idle — the
+         |throttle IS visible as /proc/stat STEAL time, which each timed build
+         |measures around its own window. "eff corr" re-bases both sides on
+         |steal-free throughput (raw × (busy+steal)/busy — exact for a
+         |CPU-bound build). A trial is flagged drifted when its bracketing hi
+         |runs disagree >25%, ceilings disagree >15%, any build lost >5% CPU
+         |to steal, or raw efficiency is impossible (>1.02); medians over all
+         |trials AND over stable trials are both reported, with every trial
+         |embedded in BENCH JSON.
          |
-         || trial | ceiling | docs/s @local[$pLow] | docs/s @local[$pHigh] | eff raw | eff vs ceiling |
-         ||---|---|---|---|---|---|
+         || trial | ceiling pre/post | docs/s @local[$pLow] | docs/s @local[$pHigh] (pre/post) | max steal | eff raw | eff corr | eff vs ceiling | drifted |
+         ||---|---|---|---|---|---|---|---|---|
          |$trialRows
          |
          || metric | value | config |
@@ -251,8 +329,11 @@ object Bench {
          || indexing throughput @ local[$pLow] (N), median | ${f"$tputLowMedian%.1f"} docs/s | full build incl. segment merge |
          || indexing throughput @ local[$pHigh] (4N), median | ${f"$tputHighMedian%.1f"} docs/s | same input, same job |
          || scaling efficiency, median (best) | ${f"$effMedian%.3f"} (${f"$effBest%.3f"}) | target ≥ 0.8 (north_rule) |
+         || scaling efficiency, median of ${stableTrials.size} stable trials | ${f"$effStableMedian%.3f"} | drift-flagged trials excluded |
+         || scaling efficiency, steal-corrected median (stable) | ${f"$effCorrMedian%.3f"} (${f"$effCorrStableMedian%.3f"}) | both sides re-based on /proc/stat steal-free throughput |
          || hardware ceiling, median of per-trial | ${f"$ceilMedian%.2f"}x | shared host: effective CPU drifts; ideal would be ${pHigh}.0x |
-         || efficiency vs per-trial ceiling, median (best) | ${f"$effVsCeilMedian%.3f"} (${f"$effVsCeilBest%.3f"}) | tput ratio ÷ ceiling measured next to that trial |
+         || efficiency vs per-trial ceiling, median (best) | ${f"$effVsCeilMedian%.3f"} (${f"$effVsCeilBest%.3f"}) | tput ratio ÷ mean of the trial's pre/post ceilings |
+         || efficiency vs ceiling, median of stable trials | ${f"$effVsCeilStableMedian%.3f"} | drift-flagged trials excluded |
          || BM25 top-10 p50 latency (warm) | ${f"$p50Ms%.1f"} ms | pruned block-max WAND; driver posting-cache hit ⇒ zero Spark jobs |
          || BM25 top-10 p95 latency (warm) | ${f"$p95Ms%.1f"} ms | fixture query set × 4 rounds |
          || BM25 top-10 p50 latency (cold) | ${f"$p50ColdMs%.1f"} ms | first execution per query: segment fetch job included |

@@ -38,20 +38,48 @@ object BenchBuild {
     try {
       val idxCfg = IndexBuild.Config(shards = 8, saltThresholdDf = saltS.toLong,
         nBatches = 1, buckets = 16)
-      // JIT warm-up: small untimed build
-      val warmCfg = CorpusGen.Config(nSites = 2, pagesPerSite = 2500)
-      CorpusGen.generate(spark, warmCfg).write.mode("overwrite").parquet(s"$outDir/warm_pages")
-      val wp = spark.read.parquet(s"$outDir/warm_pages")
-        .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
-      IndexBuild.run(spark, wp, s"$outDir/warm_idx", idxCfg)
+      // JIT warm-up: small untimed build (SPARK_GRAFT_WARMUP=none skips it
+      // for diagnostics). The JIT cost is a FIXED absolute overhead, so it
+      // does NOT cancel in the lo/hi throughput ratio (Amdahl) — warming
+      // both levels keeps the timed region compute-bound at each level.
+      if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "full") != "none") {
+        val warmCfg = CorpusGen.Config(nSites = 2, pagesPerSite = 2500)
+        CorpusGen.generate(spark, warmCfg).write.mode("overwrite").parquet(s"$outDir/warm_pages")
+        val wp = spark.read.parquet(s"$outDir/warm_pages")
+          .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+        IndexBuild.run(spark, wp, s"$outDir/warm_idx", idxCfg)
+      }
 
       val pages = spark.read.parquet(pagesPath)
         .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+      val s0 = readProcStat()
       val t0 = System.nanoTime()
       IndexBuild.run(spark, pages, s"$outDir/idx", idxCfg)
       IndexBuild.mergeSegments(spark, s"$outDir/idx")
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"BENCHBUILD_RESULT ${nDocsS.toLong / sec}%.1f")
+      val s1 = readProcStat()
+      // busy/steal jiffy deltas over the timed window: `steal` is the
+      // hypervisor-throttle signal (vCPU runnable but not run) — the
+      // shared host's throttle is invisible to load averages but lands
+      // exactly here. For a CPU-bound build the steal-free throughput is
+      // raw * (busy+steal)/busy, and steal/(busy+steal) flags a
+      // contaminated measurement.
+      println(f"BENCHBUILD_RESULT ${nDocsS.toLong / sec}%.1f " +
+        s"busy=${s1._1 - s0._1} steal=${s1._2 - s0._2}")
     } finally spark.stop()
   }
+
+  /** (busy, steal) jiffies from /proc/stat's aggregate cpu line; (1, 0)
+    * when unreadable (correction degrades to a no-op). busy = user +
+    * nice + system + irq + softirq. */
+  def readProcStat(): (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // fields: user nice system idle iowait irq softirq steal
+      val busy = f(0) + f(1) + f(2) + f(5) + f(6)
+      val steal = if (f.length > 7) f(7) else 0L
+      (math.max(busy, 1L), steal)
+    } catch { case scala.util.control.NonFatal(_) => (1L, 0L) }
 }
