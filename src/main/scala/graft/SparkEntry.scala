@@ -57,6 +57,7 @@ object SparkEntry {
     "q26_token_counts" -> ((s, d) => DocOps.tokenCounts(s, d)),
     "q29_ann_lsh_buckets" -> ((s, d) => DocOps.annLshBuckets(s, d)),
     "q35_ann_ivf_cells" -> ((s, d) => DocOps.annIvfCellSizes(s, d)),
+    "q36_embed_neardup" -> ((s, d) => DocOps.embedNearDup(s, d)),
     // ── events (windowed/sessionized) ──
     "q27_sessionize" -> ((s, d) => DocOps.sessionize(s, d)), // §2.5-adjacent
     "q28_hourly_window" -> ((s, d) => DocOps.hourlyWindow(s, d)),
@@ -501,6 +502,42 @@ object SparkEntry {
         |SELECT sess.user_id, sess.n_events, sess.sum_value
         |FROM sess JOIN last ON sess.user_id = last.user_id AND sess.sess_no < last.m
         |ORDER BY sess.user_id, sess.n_events, sess.sum_value""".stripMargin,
+
+    // banded hyperplane LSH near-dup: same plane derivation as q29; a pair
+    // is a candidate iff some 2-plane band signature collides; exact
+    // cosine only on candidates; threshold on the 6-dp-rounded value
+    "q36_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), ve AS (
+        |  SELECT vec_id, i.i, v[i.i + 1] AS x FROM e CROSS JOIN generate_series(0, 63) i(i)
+        |), planes AS (
+        |  SELECT p.p, i.i,
+        |         strpos('0123456789abcdef',
+        |                substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1)) - 8.5 AS w
+        |  FROM generate_series(0, 7) p(p) CROSS JOIN generate_series(0, 63) i(i)
+        |), proj AS (
+        |  SELECT ve.vec_id, planes.p, sum(ve.x * planes.w) AS s
+        |  FROM ve JOIN planes ON ve.i = planes.i
+        |  GROUP BY ve.vec_id, planes.p
+        |), sigs AS (
+        |  SELECT vec_id, p // 2 AS band,
+        |         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, p % 2) AS INT) ELSE 0 END) AS INT) AS sig
+        |  FROM proj GROUP BY vec_id, p // 2
+        |), cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM sigs x JOIN sigs y
+        |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+        |), cos AS (
+        |  SELECT cand.a, cand.b,
+        |    round(list_sum(list_transform(list_zip(ea.v, eb.v), t -> t[1] * t[2])) /
+        |      (sqrt(list_sum(list_transform(ea.v, t -> t * t))) *
+        |       sqrt(list_sum(list_transform(eb.v, t -> t * t)))), 6) AS cosine
+        |  FROM cand
+        |  JOIN e ea ON ea.vec_id = cand.a
+        |  JOIN e eb ON eb.vec_id = cand.b
+        |)
+        |SELECT a, b, cosine FROM cos WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
 
     "q29_ann_lsh_buckets" ->
       """WITH e AS (

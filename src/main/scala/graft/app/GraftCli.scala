@@ -14,6 +14,8 @@ import graft.queryengine.{SearchEngine, Statistics}
   *   merge  <indexDir>                                — segment sort-merge
   *   search <indexDir> <pagesDir> <tfsum|bm25> <query> [offset] [limit] [siteUrl]
   *   stats  <indexDir>                                — per-site statistics
+  *   indexpage <pagesDir> <indexDir> <url>            — /api/indexPage with error shapes
+  *   stop   <indexDir>                                — graceful stop of a running build
   *
   * In-sandbox this runs on local[*]; on a cluster the same mains run
   * unchanged under spark-submit (the session builder only sets master
@@ -98,6 +100,25 @@ object GraftCli {
       case "stats" :: indexDir :: Nil =>
         Statistics.compute(spark, indexDir).show(50, truncate = false)
 
+      case "indexpage" :: pagesDir :: indexDir :: url :: Nil =>
+        // reference POST /api/indexPage shape incl. error payloads;
+        // configured sites = the sites present in the corpus table
+        import org.apache.spark.sql.functions.col
+        val sites = spark.read.parquet(pagesDir)
+          .select(col("url")).limit(100000)
+          .as[String](Encoders.STRING).collect()
+          .map(u => "https://" + IndexBuild.siteOf(u)).distinct.toSeq
+        val api = new ControlApi(spark, pagesDir, indexDir, sites)
+        val resp = api.indexPage(url)
+        println(s"result=${resp.result}${resp.error.fold("")(e => s" error='$e'")}")
+
+      case "stop" :: indexDir :: Nil =>
+        // cross-process graceful stop: set the marker the batch loop polls
+        graft.store.TableStore.open(spark, indexDir)
+          .putMarker(IndexBuild.StopMarker)
+        println(s"stop requested (marker ${IndexBuild.StopMarker} set; " +
+          "the running build halts after its current batch)")
+
       case other =>
         System.err.println(
           s"""unknown args: ${other.mkString(" ")}
@@ -108,7 +129,9 @@ object GraftCli {
              |  refresh <pagesDir> <indexDir> <url>
              |  delete <indexDir> <url>
              |  search <indexDir> <pagesDir> <tfsum|bm25> <query> [offset limit [siteUrl]]
-             |  stats <indexDir>""".stripMargin)
+             |  stats <indexDir>
+             |  indexpage <pagesDir> <indexDir> <url>
+             |  stop <indexDir>""".stripMargin)
         sys.exit(2)
     }
     spark.stop()

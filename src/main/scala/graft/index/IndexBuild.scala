@@ -67,6 +67,9 @@ object IndexBuild {
       nBatches: Int = 4, // resumable build batches
       buckets: Int = 16) // term-hash storage partitions
 
+  /** Graceful-stop marker polled between batches (ControlApi.stopIndexing). */
+  val StopMarker = "_STOP"
+
   /** Reference F1: only pages with a valid HTTP status are lemmatized
     * (MorphologyServiceImpl.java:89-90; valid-codes {200, 308} from
     * application.yaml:23-25). The input_hint schema carries no `code`
@@ -253,6 +256,9 @@ object IndexBuild {
       spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
     val store = TableStore.open(spark, outDir)
+    // clear a stale graceful-stop marker FIRST (before the long analyze
+    // phase) so a stop requested against THIS run is honored, not eaten
+    store.dropMarker(StopMarker)
 
     // ONE extract+lemmatize pass over the corpus, persisted (memory+disk
     // spill) — docs, lemma_stats and every posting batch derive from it.
@@ -322,8 +328,14 @@ object IndexBuild {
     // straight to `index/` and let mergeSegments no-op (a 1-way "merge"
     // would byte-copy every segment through an extra shuffle).
     val singleBatch = cfg.nBatches == 1
+    // Graceful stop (reference RunIndexMonitor.setStopIndexing, checked
+    // between pages by the crawl threads — here between BATCHES): the
+    // `_STOP` marker (cleared at run() entry) halts the loop after the
+    // current batch's lineage commit; completed batches stay committed
+    // and a later run resumes the rest.
     // `stopAfter` simulates a mid-build kill for the resume test (§5.7)
-    for (b <- 0 until cfg.nBatches if !done.contains(b) && built < stopAfter) {
+    for (b <- 0 until cfg.nBatches
+        if !done.contains(b) && built < stopAfter && !store.markerExists(StopMarker)) {
       // doc_id is non-negative (sign bit cleared) so % is a safe batch key
       val batchPost =
         if (singleBatch) typedPost

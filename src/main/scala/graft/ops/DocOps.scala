@@ -334,20 +334,26 @@ object DocOps {
       .orderBy("doc_id")
   }
 
+  /** Register the native cosine expression (idempotent per session). */
+  private def withCosine(spark: SparkSession): Unit =
+    if (!spark.catalog.functionExists("graft_cosine"))
+      graft.functions.VecExpressions.register(spark)
+
   /** Embedding-cosine ANN, brute force (the baseline): top-5 neighbours of
-    * query vectors 0,1,2 by cosine, computed with codegen'd array
-    * higher-order functions — no UDF. */
+    * query vectors 0,1,2 by cosine. The similarity is the native codegen'd
+    * [[graft.functions.CosineSim]] expression — one fused loop per pair,
+    * no intermediate zip array, bit-identical to the previous
+    * aggregate/zip_with form (same fold order). */
   def annCosineTop5(spark: SparkSession, dir: String): DataFrame = {
+    withCosine(spark)
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val cos = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
-      .withColumn("nv", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
-      .withColumn("nq", expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"))
-      .withColumn("cosine", round(col("dot") / (col("nv") * col("nq")), 6))
+      .withColumn("cosine", round(
+        graft.functions.VecExpressions.cosineSim(col("v"), col("qv")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), col("vec_id"))
     cos.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -386,12 +392,69 @@ object DocOps {
       .orderBy("bucket")
   }
 
+  /** Embedding-cosine NEAR-DUPLICATE pairs via BANDED hyperplane LSH —
+    * the dedup-family member that works on vectors (complementing exact
+    * md5 / MinHash / SimHash / n-gram Jaccard on text).
+    *
+    * Scale shape (the reason this is not a cross join): the 8 md5-derived
+    * hyperplanes (same derivation as [[annLshBuckets]]) are split into 4
+    * bands of 2; a pair is a CANDIDATE iff it collides in at least one
+    * band (MinHash-style band-OR amplification — per-band match
+    * probability (1 - θ/π)² , recall 1-(1-p)⁴). Candidates are found by a
+    * shuffle join on (band, signature) — at 10^12 vectors each band
+    * bucket holds ~n/2^bits vectors, and production raises planes/band so
+    * buckets stay small; the exact cosine (native codegen'd
+    * [[graft.functions.CosineSim]]) is computed ONLY for candidates.
+    * The fixture threshold 0.4 matches the synthetic table (max pairwise
+    * cosine ≈ 0.48 — no planted duplicates); the threshold compares the
+    * 6-dp-rounded cosine so the Spark and DuckDB sides agree at the
+    * boundary. */
+  def embedNearDup(spark: SparkSession, dir: String,
+      nPlanes: Int = 8, bandSize: Int = 2, threshold: Double = 0.4): DataFrame = {
+    withCosine(spark)
+    val emb = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = emb.select(size(col("v"))).head.getInt(0)
+    def weight(p: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((h(0) >> 4) & 0xf).toDouble - 7.5
+    }
+    val planes: Seq[Seq[Double]] =
+      (0 until nPlanes).map(p => (0 until dims).map(i => weight(p, i)))
+    val nBands = nPlanes / bandSize
+    // per-vector band signatures: bit p of band b = sign of plane
+    // (b*bandSize + p)'s projection
+    val sigs = emb.withColumn("planes", typedLit(planes))
+      .withColumn("band_sigs", expr(
+        s"""transform(sequence(0, ${nBands - 1}, 1), b ->
+           |  aggregate(transform(sequence(0, ${bandSize - 1}, 1), p ->
+           |    case when aggregate(zip_with(v, planes[b * $bandSize + p], (x, w) -> x * w),
+           |                        0D, (acc, x) -> acc + x) > 0
+           |         then cast(pow(2, p) as int) else 0 end),
+           |    0, (acc, x) -> acc + x))""".stripMargin))
+      .select(col("vec_id"), col("v"),
+        posexplode(col("band_sigs")).as(Seq("band", "sig")))
+    val lhs = sigs.select(col("band"), col("sig"),
+      col("vec_id").as("a"), col("v").as("va"))
+    val rhs = sigs.select(col("band"), col("sig"),
+      col("vec_id").as("b"), col("v").as("vb"))
+    lhs.join(rhs, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.VecExpressions.cosineSim(col("va"), col("vb")), 6)
+          .as("cosine"))
+      .distinct() // a pair may collide in several bands
+      .filter(col("cosine") >= threshold)
+      .orderBy("a", "b")
+  }
+
   /** IVF-style ANN (the coarse-quantizer scale path, complementing the
     * hyperplane LSH above): deterministic centroids = the embeddings of
     * vec_id 0..15 (no k-means iterations — reproducible across engines),
     * every vector assigned to its max-cosine cell. Query-side probing
     * searches only the query's cell. */
   def annIvfCells(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    withCosine(spark)
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = emb.filter(col("vec_id") < nCells)
@@ -399,9 +462,7 @@ object DocOps {
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cell"))
     emb.crossJoin(broadcast(cents))
       .withColumn("cos", round(
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))") *
-            expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))")), 6))
+        graft.functions.VecExpressions.cosineSim(col("v"), col("cv")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"))

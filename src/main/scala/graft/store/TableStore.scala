@@ -55,6 +55,13 @@ trait TableStore {
 
   /** Drop a table (delete delta dirs on refresh compaction, etc.). */
   def drop(table: String): Unit
+
+  /** Control markers (e.g. the graceful-stop flag `_STOP` the batch loop
+    * polls between batches — the table-scan rebuild of the reference's
+    * RunIndexMonitor.stopIndexing flag). (Iceberg: a table property.) */
+  def markerExists(name: String): Boolean
+  def putMarker(name: String): Unit
+  def dropMarker(name: String): Unit
 }
 
 object TableStore {
@@ -128,6 +135,20 @@ final class ParquetStore(val spark: SparkSession, val root: String)
 
   override def drop(table: String): Unit = {
     fs.delete(new Path(pathOf(table)), true)
+    ()
+  }
+
+  override def markerExists(name: String): Boolean =
+    fs.exists(new Path(s"$root/$name"))
+
+  override def putMarker(name: String): Unit = {
+    val f = fs
+    f.mkdirs(new Path(root))
+    f.create(new Path(s"$root/$name"), true).close()
+  }
+
+  override def dropMarker(name: String): Unit = {
+    fs.delete(new Path(s"$root/$name"), false)
     ()
   }
 }
