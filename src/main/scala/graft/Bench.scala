@@ -135,9 +135,12 @@ object Bench {
       *  - per-build steal fractions from /proc/stat catch throttle that
       *    hits one side of the ratio steadily (which bracketing can't).
       * A trial is `drifted` when the hi pair disagrees >25%, the ceilings
-      * disagree >15%, any build lost >5% of its CPU to steal, or the raw
-      * efficiency is impossible (>1.02 — a throttled LOW run). Drifted
-      * trials stay in the report; `stable` medians summarize the rest. */
+      * disagree >15%, steal is ASYMMETRIC across the trial's builds
+      * (>8 points spread — a symmetric background steal level mostly
+      * cancels in the ratio and is exactly what the correction re-bases),
+      * any build lost >25% of its CPU to steal, or the raw efficiency is
+      * impossible (>1.02 — a throttled LOW run). Drifted trials stay in
+      * the report; `stable` medians summarize the rest. */
     final case class Trial(ceilPre: Double, ceilPost: Double,
         low: Measure, high1: Measure, high2: Measure) {
       def tputLow: Double = low.tput
@@ -151,13 +154,16 @@ object Bench {
       def effVsCeiling: Double = if (ceiling > 0) speedup / ceiling else 0.0
       def maxSteal: Double =
         Seq(low.stealFrac, high1.stealFrac, high2.stealFrac).max
+      def stealSpread: Double =
+        maxSteal - Seq(low.stealFrac, high1.stealFrac, high2.stealFrac).min
       def ok: Boolean = low.tput > 0 && high1.tput > 0 && high2.tput > 0
       def drifted: Boolean = {
         val hiRatio = math.max(high1.tput, high2.tput) /
           math.max(1e-9, math.min(high1.tput, high2.tput))
         val ceilRatio = math.max(ceilPre, ceilPost) /
           math.max(1e-9, math.min(ceilPre, ceilPost))
-        hiRatio > 1.25 || ceilRatio > 1.15 || maxSteal > 0.05 || effRaw > 1.02
+        hiRatio > 1.25 || ceilRatio > 1.15 || stealSpread > 0.08 ||
+          maxSteal > 0.25 || effRaw > 1.02
       }
     }
     def median(xs: Seq[Double]): Double =
@@ -315,10 +321,13 @@ object Bench {
          |measures around its own window. "eff corr" re-bases both sides on
          |steal-free throughput (raw × (busy+steal)/busy — exact for a
          |CPU-bound build). A trial is flagged drifted when its bracketing hi
-         |runs disagree >25%, ceilings disagree >15%, any build lost >5% CPU
-         |to steal, or raw efficiency is impossible (>1.02); medians over all
-         |trials AND over stable trials are both reported, with every trial
-         |embedded in BENCH JSON.
+         |runs disagree >25%, ceilings disagree >15%, the steal fraction is
+         |asymmetric across its three builds (>8-point spread — symmetric
+         |background steal mostly cancels in the ratio and is what the
+         |correction re-bases), any build lost >25% CPU to steal, or raw
+         |efficiency is impossible (>1.02); medians over all trials AND over
+         |stable trials are both reported, with every trial embedded in
+         |BENCH JSON.
          |
          || trial | ceiling pre/post | docs/s @local[$pLow] | docs/s @local[$pHigh] (pre/post) | max steal | eff raw | eff corr | eff vs ceiling | drifted |
          ||---|---|---|---|---|---|---|---|---|

@@ -286,40 +286,64 @@ object IndexBuild {
     // ~2x worse (writer memory pressure) than cache-then-write.
     phase("analyze")(analyzed.count())
 
-    phase("docs write")(store.write(
+    // The three dimension/stat writes are INDEPENDENT jobs over the same
+    // persisted analyze pass; submit them from separate threads so their
+    // small stages and driver-side planning/commit gaps overlap (a real
+    // cluster runs exactly this way). Each is driver-latency-bound more
+    // than core-bound, so the overlap collapses a serial ~6 s tail at
+    // high parallelism without affecting the 1-thread level (which
+    // serializes on its single core either way). Futures are joined
+    // before anything depends on the written tables.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+
+    val docsF = Future(phase("docs write")(store.write(
       analyzed.select("doc_id", "url", "site", "lang", "dl"),
-      "docs", SaveMode.Overwrite))
+      "docs", SaveMode.Overwrite)))
 
     val post = analyzed
       .select(col("doc_id"), col("site"), col("dl"), explode(col("terms")).as(Seq("term", "tf")))
 
-    phase("lemma_stats write")(store.write(
+    val lemmaStatsF = Future(phase("lemma_stats write")(store.write(
       post.groupBy("term", "site").agg(count(lit(1)).as("df")),
-      "lemma_stats", SaveMode.Overwrite))
-    val statsDf = store.read("lemma_stats")
+      "lemma_stats", SaveMode.Overwrite)))
 
-    // Global stats for BM25 (N, avgdl) + build config — one tiny row.
-    // The doc-id uniqueness check (hash-collision guard) rides the same
-    // aggregation, saving a full extra action.
-    val statsRow = analyzed.agg(
+    // Global stats for BM25 (N, avgdl) + build config — one tiny row,
+    // collected ONCE (the doc-id uniqueness check rides the same
+    // aggregation) and written back as a literal row: one aggregation job
+    // + one local write instead of agg-write + read-back-collect.
+    val statsF = Future(phase("stats agg")(analyzed.agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("doc_id")).as("n_distinct"),
       avg(col("dl")).as("avgdl"),
-      sum(col("dl")).as("total_tokens"))
-      .withColumn("shards", lit(cfg.shards))
-      .withColumn("n_batches", lit(cfg.nBatches))
-    phase("stats write")(store.write(statsRow, "stats", SaveMode.Overwrite))
-    val st = store.read("stats").collect()(0)
+      sum(col("dl")).as("total_tokens")).collect()(0)))
+
+    val st = Await.result(statsF, Duration.Inf)
     require(st.getAs[Long]("n_docs") == st.getAs[Long]("n_distinct"),
       s"doc_id hash collision or duplicate url: " +
         s"${st.getAs[Long]("n_docs") - st.getAs[Long]("n_distinct")}")
+    val statsRow = spark.range(1).select(
+      lit(st.getAs[Long]("n_docs")).as("n_docs"),
+      lit(st.getAs[Long]("n_distinct")).as("n_distinct"),
+      lit(st.getAs[Double]("avgdl")).as("avgdl"),
+      lit(st.getAs[Long]("total_tokens")).as("total_tokens"),
+      lit(cfg.shards).as("shards"),
+      lit(cfg.nBatches).as("n_batches"))
+    phase("stats write")(store.write(statsRow, "stats", SaveMode.Overwrite))
 
+    Await.result(lemmaStatsF, Duration.Inf)
     // Global salted-term decision — identical across batches/restarts.
+    // Derived from the WRITTEN lemma_stats (a tiny scan): deriving from
+    // the in-memory aggregate would re-run the full explode+shuffle.
+    val statsDf = store.read("lemma_stats")
     val headTerms = statsDf.groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > cfg.saltThresholdDf)
       .select("term")
     phase("head_terms write")(store.write(headTerms, "head_terms", SaveMode.Overwrite))
     val headDf = store.read("head_terms")
+    Await.result(docsF, Duration.Inf)
 
     val typedPost = post.select("term", "doc_id", "tf", "dl").as[PostingRow]
     val done: Set[Int] = completedBatches(spark, outDir)
@@ -345,20 +369,29 @@ object IndexBuild {
       phase(s"segments write b=$b")(store.write(segs.toDF, segTable,
         SaveMode.Overwrite, partitionBy = Seq("bucket")))
       // lineage LAST — the batch's commit point (north_rule).
-      // posting_bytes from the store (no data re-read); term/posting
-      // counts from a columnar agg that skips the bytes column.
+      // posting_bytes from the store (no data re-read). Metric source:
+      // a single-batch build's term/posting counts equal the GLOBAL
+      // distinct-term count and Σ df, both answerable from the tiny
+      // lemma_stats table — re-reading the just-written segment table
+      // would pay footer reads across every bucket file just for two
+      // numbers. Multi-batch builds aggregate their own segment table
+      // (batch term sets are proper subsets of the global one).
       val bytes = store.sizeInBytes(segTable)
-      val lin = store.read(segTable)
-        .agg(
+      val counts =
+        if (singleBatch)
+          statsDf.agg(
+            countDistinct(col("term")).as("term_count"),
+            coalesce(sum(col("df")), lit(0L)).as("posting_count"))
+        else store.read(segTable).agg(
           countDistinct(col("term")).as("term_count"),
           coalesce(sum(col("doc_count")), lit(0L)).as("posting_count"))
-        .select(
-          lit(b).as("partition_id"),
-          lit(s"doc_id % ${cfg.nBatches} == $b").as("doc_range"),
-          lit(bytes).as("posting_bytes"),
-          col("term_count"), col("posting_count"),
-          lit("COMPLETE").as("status"),
-          current_timestamp().as("ts"))
+      val lin = counts.select(
+        lit(b).as("partition_id"),
+        lit(s"doc_id % ${cfg.nBatches} == $b").as("doc_range"),
+        lit(bytes).as("posting_bytes"),
+        col("term_count"), col("posting_count"),
+        lit("COMPLETE").as("status"),
+        current_timestamp().as("ts"))
       phase("lineage")(store.write(lin, "lineage", SaveMode.Append))
       built += 1
     }
