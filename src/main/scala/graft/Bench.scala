@@ -213,8 +213,17 @@ object Bench {
       // fresh-JVM hi–lo–hi triples until `nTrials` UNDRIFTED trials exist
       // (or the hard cap); every trial, drifted or not, is recorded.
       val maxTrials = sys.env.getOrElse("SPARK_GRAFT_MAX_TRIALS", "9").toInt
+      // stable-so-far: undrifted AND within 60% of the best per-level
+      // build rate seen so far (the cross-trial contention gate below,
+      // evaluated against the growing anchor)
+      def stableSoFar: Int = {
+        val bh = (0.0 +: trials.map(x => math.max(x.high1.tput, x.high2.tput))).max
+        val bl = (0.0 +: trials.map(_.tputLow)).max
+        trials.count(x => !x.drifted &&
+          math.max(x.high1.tput, x.high2.tput) >= 0.6 * bh && x.tputLow >= 0.6 * bl)
+      }
       var t = 0
-      while (t < maxTrials && trials.count(!_.drifted) < nTrials) {
+      while (t < maxTrials && stableSoFar < nTrials) {
         t += 1
         val ceilPre = cpuCeiling(pHigh)
         val hi1 = buildAt(pHigh, s"$work/t${t}_hi1")
@@ -282,15 +291,31 @@ object Bench {
     val ceilMedian = median(trials.map(_.ceiling))
     val tputLowMedian = median(trials.map(_.tputLow))
     val tputHighMedian = median(trials.map(_.tputHigh))
-    // stable = drift-unflagged trials only (all trials stay in the JSON;
-    // if every trial drifted the stable medians fall back to the full set)
-    val stableTrials = { val s = trials.filterNot(_.drifted); if (s.isEmpty) trials else s }
+    // Cross-trial CONTENTION flag, decided after all trials: steady
+    // co-tenant memory-bandwidth pressure slows a whole trial uniformly —
+    // brackets agree, ceilings agree (the busy-loop probe does no memory
+    // traffic), steal stays low — yet the hi builds run far below the
+    // clean rate (observed: 4.5x below, eff 0.19, all local flags green).
+    // The session's best single-build rate per level IS the clean anchor:
+    // a trial whose best hi build (or lo build) is <60% of it was
+    // measured under contention, whatever the mechanism.
+    val bestHi = (0.0 +: trials.map(t => math.max(t.high1.tput, t.high2.tput))).max
+    val bestLo = (0.0 +: trials.map(_.tputLow)).max
+    def contended(t: Trial): Boolean =
+      math.max(t.high1.tput, t.high2.tput) < 0.6 * bestHi ||
+        t.tputLow < 0.6 * bestLo
+    // stable = neither drift- nor contention-flagged (all trials stay in
+    // the JSON; if every trial is flagged the medians fall back to all)
+    val stableTrials = {
+      val s = trials.filterNot(t => t.drifted || contended(t))
+      if (s.isEmpty) trials else s
+    }
     val effStableMedian = median(stableTrials.map(_.effRaw))
     val effCorrMedian = median(trials.map(_.effCorr))
     val effCorrStableMedian = median(stableTrials.map(_.effCorr))
     val effVsCeilStableMedian = median(stableTrials.map(_.effVsCeiling))
     val trialsJson = trials.map(t =>
-      s"""{"ceil_pre":${f"${t.ceilPre}%.2f"},"ceil_post":${f"${t.ceilPost}%.2f"},"tput_plow":${f"${t.tputLow}%.1f"},"tput_phigh1":${f"${t.high1.tput}%.1f"},"tput_phigh2":${f"${t.high2.tput}%.1f"},"steal_frac_plow":${f"${t.low.stealFrac}%.4f"},"steal_frac_phigh1":${f"${t.high1.stealFrac}%.4f"},"steal_frac_phigh2":${f"${t.high2.stealFrac}%.4f"},"eff_raw":${f"${t.effRaw}%.3f"},"eff_steal_corrected":${f"${t.effCorr}%.3f"},"eff_vs_ceiling":${f"${t.effVsCeiling}%.3f"},"drifted":${t.drifted}}""")
+      s"""{"ceil_pre":${f"${t.ceilPre}%.2f"},"ceil_post":${f"${t.ceilPost}%.2f"},"tput_plow":${f"${t.tputLow}%.1f"},"tput_phigh1":${f"${t.high1.tput}%.1f"},"tput_phigh2":${f"${t.high2.tput}%.1f"},"steal_frac_plow":${f"${t.low.stealFrac}%.4f"},"steal_frac_phigh1":${f"${t.high1.stealFrac}%.4f"},"steal_frac_phigh2":${f"${t.high2.stealFrac}%.4f"},"eff_raw":${f"${t.effRaw}%.3f"},"eff_steal_corrected":${f"${t.effCorr}%.3f"},"eff_vs_ceiling":${f"${t.effVsCeiling}%.3f"},"drifted":${t.drifted},"contended":${contended(t)}}""")
       .mkString("[", ",", "]")
     val total = queryTimes.values.sum
     val qs = queryTimes.toSeq.sortBy(_._1)
@@ -301,7 +326,7 @@ object Bench {
 
     // BENCH/BASELINE.md per the measurement protocol in BASELINE.md
     val trialRows = trials.zipWithIndex.map { case (t, i) =>
-      f"| ${i + 1} | ${t.ceilPre}%.2fx/${t.ceilPost}%.2fx | ${t.tputLow}%.1f | ${t.high1.tput}%.1f / ${t.high2.tput}%.1f | ${t.maxSteal * 100}%.1f%% | ${t.effRaw}%.3f | ${t.effCorr}%.3f | ${t.effVsCeiling}%.3f | ${if (t.drifted) "yes" else "no"} |"
+      f"| ${i + 1} | ${t.ceilPre}%.2fx/${t.ceilPost}%.2fx | ${t.tputLow}%.1f | ${t.high1.tput}%.1f / ${t.high2.tput}%.1f | ${t.maxSteal * 100}%.1f%% | ${t.effRaw}%.3f | ${t.effCorr}%.3f | ${t.effVsCeiling}%.3f | ${if (t.drifted) "yes" else if (contended(t)) "contended" else "no"} |"
     }.mkString("\n|") // continuation rows carry an extra margin pipe for stripMargin
     new java.io.File("BENCH").mkdirs()
     Files.writeString(Paths.get("BENCH/BASELINE.md"),
