@@ -89,9 +89,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toInt
+    // 400k pages: large enough that fixed per-job overheads (~1 s of
+    // driver latency per build) are <3% of even the high-parallelism
+    // wall, so the lo/hi ratio measures the job, not session constants
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toInt
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").isDefined
-    val work = Files.createTempDirectory("graft-bench").toString
+    // work tables live on tmpfs: /tmp is disk-backed on this box, and disk
+    // commit latency in the timed builds is serial noise the N-vs-4N
+    // criterion is not about (a real cluster writes to a parallel store)
+    val work = {
+      val base = sys.env.getOrElse("SPARK_GRAFT_BENCH_WORK", "/dev/shm")
+      Files.createTempDirectory(Paths.get(base), "graft-bench").toString
+    }
 
     // ── section 2+3 prep: corpus + index at two parallelism levels ──
     // nBatches=1 for the throughput runs: the batched/resumable loop adds
@@ -169,6 +178,22 @@ object Bench {
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
 
+    /** Cross-trial CONTENTION flag: steady co-tenant memory-bandwidth
+      * pressure slows a whole trial uniformly — brackets agree, ceilings
+      * agree (the busy-loop probe does no memory traffic), steal stays
+      * low — yet the builds run far below the clean rate (observed: 4.5x
+      * below, eff 0.19, all local flags green). The given trial set's best
+      * single-build rate per level IS the clean anchor: a trial whose best
+      * hi build (or lo build) is <60% of it was measured under contention,
+      * whatever the mechanism. ONE definition, used by both the adaptive
+      * loop and the final report. */
+    def contendedIn(ts: Vector[Trial])(t: Trial): Boolean = {
+      val bestHi = (0.0 +: ts.map(x => math.max(x.high1.tput, x.high2.tput))).max
+      val bestLo = (0.0 +: ts.map(_.tputLow)).max
+      math.max(t.high1.tput, t.high2.tput) < 0.6 * bestHi ||
+        t.tputLow < 0.6 * bestLo
+    }
+
     /** Each timed build runs in a FRESH subprocess JVM (see BenchBuild):
       * in-process repetition measurably degrades later sessions (GC/heap
       * accumulation — observed up to 2x on identical work). */
@@ -212,16 +237,15 @@ object Bench {
       // a fixed 5-trial run can land entirely inside one — keep running
       // fresh-JVM hi–lo–hi triples until `nTrials` UNDRIFTED trials exist
       // (or the hard cap); every trial, drifted or not, is recorded.
-      val maxTrials = sys.env.getOrElse("SPARK_GRAFT_MAX_TRIALS", "9").toInt
-      // stable-so-far: undrifted AND within 60% of the best per-level
-      // build rate seen so far (the cross-trial contention gate below,
-      // evaluated against the growing anchor)
-      def stableSoFar: Int = {
-        val bh = (0.0 +: trials.map(x => math.max(x.high1.tput, x.high2.tput))).max
-        val bl = (0.0 +: trials.map(_.tputLow)).max
-        trials.count(x => !x.drifted &&
-          math.max(x.high1.tput, x.high2.tput) >= 0.6 * bh && x.tputLow >= 0.6 * bl)
-      }
+      val maxTrials = sys.env.getOrElse("SPARK_GRAFT_MAX_TRIALS", "12").toInt
+      // stable-so-far: undrifted AND not contention-flagged, evaluated
+      // with EXACTLY the same predicate the final report uses
+      // (contendedIn below) against the growing anchor — a trial accepted
+      // early can be reclassified once a faster trial raises the anchor,
+      // and the loop keeps running until the CURRENT classification shows
+      // `nTrials` stable ones (or the budget runs out)
+      def stableSoFar: Int =
+        trials.count(x => !x.drifted && !contendedIn(trials)(x))
       var t = 0
       while (t < maxTrials && stableSoFar < nTrials) {
         t += 1
@@ -241,6 +265,15 @@ object Bench {
             s"${if (tr.drifted) " [DRIFTED]" else ""}")
         } else System.err.println(
           s"[bench] trial $t FAILED (lo=${lo.tput} hi1=${hi1.tput} hi2=${hi2.tput}) — excluded")
+        // bound tmpfs usage: drop this trial's hi1/lo outputs and the
+        // PREVIOUS trial's hi2 (the current hi2 index feeds the latency
+        // section below)
+        def rm(p: String): Unit = {
+          import scala.sys.process._
+          Seq("rm", "-rf", p).! : Unit
+        }
+        rm(s"$work/t${t}_hi1"); rm(s"$work/t${t}_lo")
+        if (t > 1) rm(s"$work/t${t - 1}_hi2")
       }
     }
 
@@ -291,25 +324,16 @@ object Bench {
     val ceilMedian = median(trials.map(_.ceiling))
     val tputLowMedian = median(trials.map(_.tputLow))
     val tputHighMedian = median(trials.map(_.tputHigh))
-    // Cross-trial CONTENTION flag, decided after all trials: steady
-    // co-tenant memory-bandwidth pressure slows a whole trial uniformly —
-    // brackets agree, ceilings agree (the busy-loop probe does no memory
-    // traffic), steal stays low — yet the hi builds run far below the
-    // clean rate (observed: 4.5x below, eff 0.19, all local flags green).
-    // The session's best single-build rate per level IS the clean anchor:
-    // a trial whose best hi build (or lo build) is <60% of it was
-    // measured under contention, whatever the mechanism.
-    val bestHi = (0.0 +: trials.map(t => math.max(t.high1.tput, t.high2.tput))).max
-    val bestLo = (0.0 +: trials.map(_.tputLow)).max
-    def contended(t: Trial): Boolean =
-      math.max(t.high1.tput, t.high2.tput) < 0.6 * bestHi ||
-        t.tputLow < 0.6 * bestLo
-    // stable = neither drift- nor contention-flagged (all trials stay in
-    // the JSON; if every trial is flagged the medians fall back to all)
-    val stableTrials = {
-      val s = trials.filterNot(t => t.drifted || contended(t))
-      if (s.isEmpty) trials else s
-    }
+    // final classification — same predicate the adaptive loop used
+    def contended(t: Trial): Boolean = contendedIn(trials)(t)
+    val stableReal = trials.filterNot(t => t.drifted || contended(t))
+    // when NOTHING is stable the medians below fall back to all trials,
+    // but the report SAYS so: n_stable_trials stays the true count (0)
+    // and stable_fallback flags the relabeling — a fallback median is a
+    // contaminated-host median, not a stable one
+    val stableFallback = stableReal.isEmpty && trials.nonEmpty
+    val stableTrials = if (stableReal.isEmpty) trials else stableReal
+    val nStable = stableReal.size
     val effStableMedian = median(stableTrials.map(_.effRaw))
     val effCorrMedian = median(trials.map(_.effCorr))
     val effCorrStableMedian = median(stableTrials.map(_.effCorr))
@@ -322,7 +346,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errsJson = queryErrors.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"n_trials":${trials.size},"n_stable_trials":${stableTrials.size},"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"n_trials":${trials.size},"n_stable_trials":$nStable,"stable_fallback":$stableFallback,"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs}""")
 
     // BENCH/BASELINE.md per the measurement protocol in BASELINE.md
     val trialRows = trials.zipWithIndex.map { case (t, i) =>
@@ -363,11 +387,11 @@ object Bench {
          || indexing throughput @ local[$pLow] (N), median | ${f"$tputLowMedian%.1f"} docs/s | full build incl. segment merge |
          || indexing throughput @ local[$pHigh] (4N), median | ${f"$tputHighMedian%.1f"} docs/s | same input, same job |
          || scaling efficiency, median (best) | ${f"$effMedian%.3f"} (${f"$effBest%.3f"}) | target ≥ 0.8 (north_rule) |
-         || scaling efficiency, median of ${stableTrials.size} stable trials | ${f"$effStableMedian%.3f"} | drift-flagged trials excluded |
+         || scaling efficiency, ${if (stableFallback) s"0 STABLE TRIALS — fallback median over all ${trials.size}" else s"median of $nStable stable trials"} | ${f"$effStableMedian%.3f"} | drift/contention-flagged trials excluded |
          || scaling efficiency, steal-corrected median (stable) | ${f"$effCorrMedian%.3f"} (${f"$effCorrStableMedian%.3f"}) | both sides re-based on /proc/stat steal-free throughput |
          || hardware ceiling, median of per-trial | ${f"$ceilMedian%.2f"}x | shared host: effective CPU drifts; ideal would be ${pHigh}.0x |
          || efficiency vs per-trial ceiling, median (best) | ${f"$effVsCeilMedian%.3f"} (${f"$effVsCeilBest%.3f"}) | tput ratio ÷ mean of the trial's pre/post ceilings |
-         || efficiency vs ceiling, median of stable trials | ${f"$effVsCeilStableMedian%.3f"} | drift-flagged trials excluded |
+         || efficiency vs ceiling, ${if (stableFallback) s"0 STABLE — fallback median over all ${trials.size}" else s"median of $nStable stable trials"} | ${f"$effVsCeilStableMedian%.3f"} | drift/contention-flagged trials excluded |
          || BM25 top-10 p50 latency (warm) | ${f"$p50Ms%.1f"} ms | pruned block-max WAND; driver posting-cache hit ⇒ zero Spark jobs |
          || BM25 top-10 p95 latency (warm) | ${f"$p95Ms%.1f"} ms | fixture query set × 4 rounds |
          || BM25 top-10 p50 latency (cold) | ${f"$p50ColdMs%.1f"} ms | first execution per query: segment fetch job included |

@@ -30,7 +30,8 @@ object BenchBuild {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.local.dir", s"/dev/shm/graft-bench-shuffle-$threads")
       .getOrCreate()

@@ -22,7 +22,8 @@ object BenchProbe {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.local.dir", s"/dev/shm/graft-probe-$threads")
       .getOrCreate()
@@ -54,6 +55,10 @@ object BenchProbe {
           base.map { case (_, html, _) =>
             val t = graft.core.HtmlText.cleanToTextFast(html)
             graft.core.Lemmatizer.lemmaCountsFast(t).size.toLong
+          }.reduce(_ + _): Unit
+        case "fused" => // the build's fused byte-scan kernel (no map encoding)
+          base.map { case (_, html, _) =>
+            graft.core.Lemmatizer.lemmaCountsFromHtml(html).size.toLong
           }.reduce(_ + _): Unit
         case "kernel" => // the full analyze row incl. map-column encoding
           analyzedDf.count(): Unit

@@ -161,4 +161,57 @@ object Lemmatizer extends Serializable {
     }
     m.toMap
   }
+
+  /** Build hot path over RAW UTF-8 html bytes: tag-skip + tokenize +
+    * lemmatize + count in ONE byte-level scan — no html String, no
+    * cleaned-text String (the two dominant allocations of the analyze
+    * phase; at high thread counts the build is memory-bandwidth-bound,
+    * so halving the char traffic is a scaling win, not just a constant).
+    *
+    * Semantically identical to
+    * `lemmaCountsFast(HtmlText.cleanToTextFast(new String(html, UTF_8)))`
+    * because the reference tokenizer (MorphologyServiceImpl.java:243-250)
+    * destroys every non-[а-я] char anyway: tag bodies are skipped, every
+    * ASCII byte (including the encoded entities' `&amp;` etc.) is a token
+    * boundary, uppercase А-Я lowercases by +0x20 on the codepoint, and ё
+    * (U+0451) falls outside [U+0430,U+044F] exactly as in the char path.
+    * Equivalence is asserted corpus-wide in LemmatizerEquivalenceSpec. */
+  def lemmaCountsFromHtml(html: Array[Byte]): Map[String, Long] = {
+    if (html == null || html.length == 0) return Map.empty
+    val m = new scala.collection.mutable.AnyRefMap[String, Long]()
+    val sb = new java.lang.StringBuilder(24)
+    def flush(): Unit = {
+      if (sb.length() >= 3) {
+        val tok = sb.toString
+        RuDict.table.get(tok) match {
+          case Some(e) =>
+            if (!e.isParticle) m.update(e.lemma, m.getOrElse(e.lemma, 0L) + 1L)
+          case None => m.update(tok, m.getOrElse(tok, 0L) + 1L)
+        }
+      }
+      if (sb.length() > 0) sb.setLength(0)
+    }
+    val n = html.length
+    var i = 0
+    var inTag = false
+    while (i < n) {
+      val b = html(i) & 0xff
+      if (inTag) {
+        if (b == '>') inTag = false
+        i += 1
+      } else if (b == '<') {
+        inTag = true; flush(); i += 1
+      } else if ((b == 0xd0 || b == 0xd1) && i + 1 < n) {
+        // 2-byte Cyrillic block: codepoint = ((b & 0x1f) << 6) | cont
+        var c = ((b & 0x1f) << 6) | (html(i + 1) & 0x3f)
+        if (c >= 0x410 && c <= 0x42f) c += 0x20 // А-Я -> а-я
+        if (c >= 0x430 && c <= 0x44f) sb.append(c.toChar) else flush()
+        i += 2
+      } else { // ASCII or other multi-byte lead/continuation: boundary
+        flush(); i += 1
+      }
+    }
+    flush()
+    m.toMap
+  }
 }

@@ -174,56 +174,85 @@ object IndexBuild {
       .select("term", "shard", "doc_id", "tf", "dl")
 
     val buckets = cfg.buckets
-    salted
-      .repartition(numPartitions, col("term"), col("shard"))
-      .sortWithinPartitions("term", "shard", "doc_id")
-      .as[(String, Int, Long, Long, Long)]
-      .mapPartitions(it => encodeSortedPartition(it, buckets))
+    encodeSortedRows(
+      salted
+        .repartition(numPartitions, col("term"), col("shard"))
+        .sortWithinPartitions("term", "shard", "doc_id"),
+      buckets)
   }
 
-  /** Streaming run-length encoder over one partition of
-    * (term, shard, doc_id, tf, dl) rows ALREADY sorted by
-    * (term, shard, doc_id): one SegmentRow per (term, shard) run.
-    * Shared by the initial build (buildSegments) and the refresh merge
-    * (Refresh.mergeWithTombstones). */
-  def encodeSortedPartition(
-      it: Iterator[(String, Int, Long, Long, Long)],
-      buckets: Int): Iterator[SegmentRow] = {
-    val partId = TaskContext.getPartitionId()
-    new Iterator[SegmentRow] {
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
-      private var curTerm: String = null
-      private var curShard: Int = 0
+  /** Streaming run-length encoder over a DataFrame with columns exactly
+    * (term STRING, shard INT, doc_id LONG, tf LONG, dl LONG), ALREADY
+    * repartitioned by (term, shard) and sorted by (term, shard, doc_id)
+    * within partitions: one SegmentRow per (term, shard) run. Shared by
+    * the initial build (buildSegments) and the refresh merge
+    * (Refresh.mergeWithTombstones).
+    *
+    * Runs over the physical plan's InternalRows with primitive-array
+    * accumulators: the deserializer alternative (`.as[Tuple5]` +
+    * per-posting objects) allocates 5 boxes + a tuple + a Posting per
+    * posting row — measured GC pressure that caps the build's thread
+    * scaling. The term string materializes once per (term, shard) RUN,
+    * not once per row. */
+  def encodeSortedRows(sorted: DataFrame, buckets: Int): Dataset[SegmentRow] = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val partId = TaskContext.getPartitionId()
+      new Iterator[SegmentRow] {
+        private var docIds = new Array[Long](1024)
+        private var tfs = new Array[Long](1024)
+        private var dls = new Array[Long](1024)
+        private var n = 0
+        private var maxTf = 0L
+        private var curTerm: org.apache.spark.unsafe.types.UTF8String = null
+        private var curShard: Int = 0
 
-      private def emit(): SegmentRow = {
-        val arr = buf.toArray
-        buf.clear()
-        SegmentRow(
-          bucket = termBucket(curTerm, buckets),
-          term = curTerm, shard = curShard, part_id = partId,
-          doc_count = arr.length,
-          block_max = if (arr.isEmpty) 0.0 else arr.map(_.tf).max.toDouble,
-          postings = PostingCodec.encode(arr))
-      }
-
-      override def hasNext: Boolean = it.hasNext || buf.nonEmpty
-
-      override def next(): SegmentRow = {
-        while (it.hasNext) {
-          val (term, shard, docId, tf, dl) = it.next()
-          if (curTerm == null) { curTerm = term; curShard = shard }
-          if (term != curTerm || shard != curShard) {
-            val r = emit()
-            curTerm = term; curShard = shard
-            buf += PostingCodec.Posting(docId, tf, dl)
-            return r
+        private def add(d: Long, t: Long, l: Long): Unit = {
+          if (n == docIds.length) {
+            docIds = java.util.Arrays.copyOf(docIds, n * 2)
+            tfs = java.util.Arrays.copyOf(tfs, n * 2)
+            dls = java.util.Arrays.copyOf(dls, n * 2)
           }
-          buf += PostingCodec.Posting(docId, tf, dl)
+          docIds(n) = d; tfs(n) = t; dls(n) = l
+          if (t > maxTf) maxTf = t
+          n += 1
         }
-        if (buf.nonEmpty) emit()
-        else throw new NoSuchElementException("empty partition")
+
+        private def emit(): SegmentRow = {
+          val term = curTerm.toString
+          val r = SegmentRow(
+            bucket = termBucket(term, buckets),
+            term = term, shard = curShard, part_id = partId,
+            doc_count = n,
+            block_max = maxTf.toDouble,
+            postings = PostingCodec.encodeRaw(docIds, tfs, dls, n))
+          n = 0; maxTf = 0L
+          r
+        }
+
+        override def hasNext: Boolean = it.hasNext || n > 0
+
+        override def next(): SegmentRow = {
+          while (it.hasNext) {
+            val row = it.next()
+            val term = row.getUTF8String(0)
+            val shard = row.getInt(1)
+            if (curTerm == null) { curTerm = term.clone(); curShard = shard }
+            if (shard != curShard || term != curTerm) {
+              val r = emit()
+              curTerm = term.clone(); curShard = shard
+              add(row.getLong(2), row.getLong(3), row.getLong(4))
+              return r
+            }
+            add(row.getLong(2), row.getLong(3), row.getLong(4))
+          }
+          if (n > 0) emit()
+          else throw new NoSuchElementException("empty partition")
+        }
       }
     }
+    spark.createDataset(rdd)
   }
 
   def termBucket(term: String, buckets: Int): Int = {
@@ -263,21 +292,20 @@ object IndexBuild {
     // ONE extract+lemmatize pass over the corpus, persisted (memory+disk
     // spill) — docs, lemma_stats and every posting batch derive from it.
     // Without this the batched loop re-analyzes the corpus per batch.
-    // Text comes from the RAW html via the engine's own cleaner — the
-    // reference's index path (stripHtml(page.getContent()),
+    // The pass works on the RAW html via the engine's own extraction
+    // semantics — the reference's index path (stripHtml(page.getContent()),
     // MorphologyServiceImpl.java:93) and the north_star's stage one; the
-    // corpus `text` column equals it byte-identically (input_hint
-    // invariant, asserted in EngineSpec), so downstream results are
-    // unchanged while the build does the honest extraction work.
+    // corpus `text` column equals the cleaner output byte-identically
+    // (input_hint invariant, asserted in EngineSpec), and the fused
+    // byte-scan kernel is equivalence-tested against the two-stage
+    // clean-then-lemmatize spec path (LemmatizerEquivalenceSpec).
     val analyzed = filterValidCode(pages) // F1: non-200/308 never indexed
       .select(col("url"), col("html"), col("lang"))
       .as[(String, Array[Byte], String)]
       .map { case (url, html, lang) =>
-        val text = graft.core.HtmlText.cleanToTextFast(html)
-        val counts = Lemmatizer.lemmaCountsFast(text)
-        val dl = counts.valuesIterator.sum.toLong
-        (stableDocId(url), url, siteOf(url), lang, dl,
-          counts.map { case (k, v) => k -> v.toLong })
+        val counts = Lemmatizer.lemmaCountsFromHtml(html)
+        val dl = counts.valuesIterator.sum
+        (stableDocId(url), url, siteOf(url), lang, dl, counts)
       }
       .toDF("doc_id", "url", "site", "lang", "dl", "terms")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -331,19 +359,39 @@ object IndexBuild {
       lit(st.getAs[Long]("total_tokens")).as("total_tokens"),
       lit(cfg.shards).as("shards"),
       lit(cfg.nBatches).as("n_batches"))
-    phase("stats write")(store.write(statsRow, "stats", SaveMode.Overwrite))
+    // stats is a derived dimension, not the commit point — write it in the
+    // background and join before the first lineage commit below
+    val statsWriteF = Future(phase("stats write")(
+      store.write(statsRow, "stats", SaveMode.Overwrite)))
 
     Await.result(lemmaStatsF, Duration.Inf)
-    // Global salted-term decision — identical across batches/restarts.
-    // Derived from the WRITTEN lemma_stats (a tiny scan): deriving from
-    // the in-memory aggregate would re-run the full explode+shuffle.
+    // Global salted-term decision — identical across batches/restarts —
+    // plus the single-batch lineage metrics, all from ONE aggregation job
+    // over the tiny written lemma_stats table. The head set is collected
+    // to the driver: it is the SKEW set, bounded by construction to
+    // < total_postings / saltThresholdDf terms (a few thousand even at
+    // 10^12 docs), and shipping it as a literal local relation makes the
+    // salting join a broadcast with no extra scan or read-back job.
     val statsDf = store.read("lemma_stats")
-    val headTerms = statsDf.groupBy("term").agg(sum(col("df")).as("df"))
-      .filter(col("df") > cfg.saltThresholdDf)
-      .select("term")
-    phase("head_terms write")(store.write(headTerms, "head_terms", SaveMode.Overwrite))
-    val headDf = store.read("head_terms")
-    Await.result(docsF, Duration.Inf)
+    val headAgg = phase("head/counts agg")(
+      statsDf.groupBy("term").agg(sum(col("df")).as("df"))
+        .agg(
+          count(lit(1)).as("term_count"),
+          coalesce(sum(col("df")), lit(0L)).as("posting_count"),
+          collect_list(when(col("df") > cfg.saltThresholdDf, col("term")))
+            .as("head_terms"))
+        .collect()(0))
+    val headArr: Seq[String] = headAgg.getSeq[String](2)
+    val headDf = headArr.toDF("term")
+    // head_terms is persisted for the query engine / refresh path, but the
+    // build itself salts from the in-memory literal — background the write
+    val headTermsWriteF = Future(phase("head_terms write")(
+      store.write(headDf, "head_terms", SaveMode.Overwrite)))
+    // every dimension write must be durable before a lineage row declares
+    // the batch COMPLETE (lineage is the commit point)
+    def awaitDims(): Unit =
+      Seq(docsF, statsWriteF, headTermsWriteF)
+        .foreach(Await.result(_, Duration.Inf))
 
     val typedPost = post.select("term", "doc_id", "tf", "dl").as[PostingRow]
     val done: Set[Int] = completedBatches(spark, outDir)
@@ -368,20 +416,20 @@ object IndexBuild {
       val segTable = if (singleBatch) "index" else s"segments/batch=$b"
       phase(s"segments write b=$b")(store.write(segs.toDF, segTable,
         SaveMode.Overwrite, partitionBy = Seq("bucket")))
+      awaitDims() // dimensions durable before the commit point
       // lineage LAST — the batch's commit point (north_rule).
       // posting_bytes from the store (no data re-read). Metric source:
       // a single-batch build's term/posting counts equal the GLOBAL
-      // distinct-term count and Σ df, both answerable from the tiny
-      // lemma_stats table — re-reading the just-written segment table
-      // would pay footer reads across every bucket file just for two
-      // numbers. Multi-batch builds aggregate their own segment table
-      // (batch term sets are proper subsets of the global one).
+      // distinct-term count and Σ df, already computed by the head/counts
+      // aggregation above (zero extra jobs); multi-batch builds aggregate
+      // their own segment table (batch term sets are proper subsets of
+      // the global one).
       val bytes = store.sizeInBytes(segTable)
       val counts =
         if (singleBatch)
-          statsDf.agg(
-            countDistinct(col("term")).as("term_count"),
-            coalesce(sum(col("df")), lit(0L)).as("posting_count"))
+          spark.range(1).select(
+            lit(headAgg.getAs[Long]("term_count")).as("term_count"),
+            lit(headAgg.getAs[Long]("posting_count")).as("posting_count"))
         else store.read(segTable).agg(
           countDistinct(col("term")).as("term_count"),
           coalesce(sum(col("doc_count")), lit(0L)).as("posting_count"))
@@ -395,6 +443,7 @@ object IndexBuild {
       phase("lineage")(store.write(lin, "lineage", SaveMode.Append))
       built += 1
     }
+    awaitDims() // loop may have run zero batches (resume/stop) — still join
     analyzed.unpersist()
     if (singleBatch && built > 0) {
       // the direct-to-index write IS the merged index, as of batch 0

@@ -57,11 +57,9 @@ object Refresh {
       .select(col("url"), col("html"), col("lang"))
       .as[(String, Array[Byte], String)]
       .map { case (url, html, lang) =>
-        val text = graft.core.HtmlText.cleanToTextFast(html)
-        val counts = Lemmatizer.lemmaCountsFast(text)
+        val counts = Lemmatizer.lemmaCountsFromHtml(html)
         (IndexBuild.stableDocId(url), url, IndexBuild.siteOf(url), lang,
-          counts.valuesIterator.sum.toLong,
-          counts.map { case (k, v) => k -> v.toLong })
+          counts.valuesIterator.sum, counts)
       }
       .toDF("doc_id", "url", "site", "lang", "dl", "terms")
       .cache()
@@ -167,11 +165,11 @@ object Refresh {
     val numPartitions = math.max(
       spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
-    val merged = alive
-      .repartition(numPartitions, col("term"), col("shard"))
-      .sortWithinPartitions("term", "shard", "doc_id")
-      .as[(String, Int, Long, Long, Long)]
-      .mapPartitions(it => IndexBuild.encodeSortedPartition(it, cfg.buckets))
+    val merged = IndexBuild.encodeSortedRows(
+      alive
+        .repartition(numPartitions, col("term"), col("shard"))
+        .sortWithinPartitions("term", "shard", "doc_id"),
+      cfg.buckets)
 
     // atomic replace (parquet: write-aside + swap; iceberg: RTAS commit)
     store.replace(merged.toDF, "index", partitionBy = Seq("bucket"))

@@ -29,4 +29,33 @@ class LemmatizerEquivalenceSpec extends AnyFunSuite {
       assert(Lemmatizer.lemmaCountsFast(t) == Lemmatizer.lemmaCounts(t), s"'$t' diverges")
     }
   }
+
+  /** The fused byte-scan build kernel (raw html bytes → lemma counts, no
+    * intermediate strings) must equal clean-then-lemmatize on raw HTML. */
+  private def specFromHtml(html: Array[Byte]): Map[String, Long] =
+    Lemmatizer.lemmaCounts(graft.core.HtmlText.cleanToTextFast(
+      new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+      .map { case (k, v) => k -> v.toLong }
+
+  test("fused html byte-scan == clean+lemmatize on 400 generated pages") {
+    val cfg = CorpusGen.Config(nSites = 2, pagesPerSite = 200, seed = 11L)
+    (0L until cfg.nDocs).foreach { i =>
+      val html = CorpusGen.pageAt(cfg, i).html
+      assert(Lemmatizer.lemmaCountsFromHtml(html) == specFromHtml(html),
+        s"doc $i diverges")
+    }
+  }
+
+  test("fused html byte-scan == clean+lemmatize on adversarial html") {
+    val cases = Seq(
+      "", "<p>абв где</p>", "аб<b>в</b>где", "<div class=\"абв\">ёлка</div>",
+      "&amp;абв&lt;где&gt;", "слово&quot;слово", "АБВ<br/>ГДЕ",
+      "<title>был и есть</title><body>токен</body>",
+      "незакрытый <tag без конца", "текст > с голой скобкой",
+      "<p>ё всё мёд</p>", "обрыв юникода д", "хвост<")
+    cases.foreach { t =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(Lemmatizer.lemmaCountsFromHtml(b) == specFromHtml(b), s"'$t' diverges")
+    }
+  }
 }
