@@ -63,11 +63,16 @@ final class ControlApi(
     if (!running.compareAndSet(false, true))
       return IndexingResponse(result = false, Some("Индексация уже запущена"))
     lastFailure = None
+    // clear any stale stop marker SYNCHRONOUSLY, before the worker
+    // exists: a stopIndexing() issued any time after this method returns
+    // is then guaranteed to be seen by the batch loop (the worker is
+    // told NOT to clear it at entry — clearStopMarker = false)
+    store.dropMarker(IndexBuild.StopMarker)
     val t = new Thread(() => {
       try {
         val pages = spark.read.parquet(pagesPath)
           .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
-        IndexBuild.run(spark, pages, indexDir, cfg)
+        IndexBuild.run(spark, pages, indexDir, cfg, clearStopMarker = false)
         IndexBuild.mergeSegments(spark, indexDir)
       } catch {
         case scala.util.control.NonFatal(e) => lastFailure = Some(e)
@@ -103,21 +108,32 @@ final class ControlApi(
     // checkConnectLink (IndexServiceImpl.java:91-94) — the table-scan
     // analogue reads the corpus row: its `code` column when the crawl
     // recorded one, 200 when the corpus predates codes, 404 when the url
-    // has no row at all (the HEAD that never connected)
-    val corpus = spark.read.parquet(pagesPath)
-    val row = (if (corpus.columns.contains("code"))
-        corpus.select(col("url"), col("code")).filter(col("url") === u)
-      else corpus.select(col("url"), org.apache.spark.sql.functions.lit(200).as("code"))
-        .filter(col("url") === u))
-      .collect().headOption
-    val code = row.map(_.getAs[Int]("code")).getOrElse(404)
+    // has no row at all (the HEAD that never connected). ONE filtered
+    // corpus scan (url-pushdown point lookup) serves both the code check
+    // and the refresh input — the single collected row is re-shipped as
+    // a literal Dataset.
+    val corpus = TableStore.open(spark, pagesPath).read("")
+    val hasCode = corpus.columns.contains("code")
+    val cols = Seq(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")) ++
+      (if (hasCode) Seq(col("code")) else Nil)
+    val row = corpus.filter(col("url") === u).select(cols: _*).collect().headOption
+    // code may arrive as any integral width, or null (a crawl row that
+    // never connected): read numerically; null / no row → the 404 analogue
+    val code = row.map { r =>
+      if (!hasCode) 200
+      else r.getAs[Any]("code") match {
+        case n: Number => n.intValue()
+        case _ => 404
+      }
+    }.getOrElse(404)
     if (!IndexBuild.ValidHttpCodes.contains(code))
       return IndexingResponse(result = false, Some(s"Код: $code Ошибка доступа к $u"))
 
-    val page: Dataset[PageRow] = spark.read.parquet(pagesPath)
-      .filter(col("url") === u)
-      .select("url", "warc_ts", "html", "text", "lang")
-      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    val page: Dataset[PageRow] = spark.createDataset(row.toSeq.map(r =>
+      PageRow(r.getAs[String]("url"), r.getAs[java.sql.Timestamp]("warc_ts"),
+        r.getAs[Array[Byte]]("html"), r.getAs[String]("text"),
+        r.getAs[String]("lang"))))(
+      org.apache.spark.sql.Encoders.product[PageRow])
     Refresh.refreshPages(spark, indexDir, page, cfg)
     IndexingResponse(result = true, None)
   }

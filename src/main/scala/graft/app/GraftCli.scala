@@ -102,12 +102,14 @@ object GraftCli {
 
       case "indexpage" :: pagesDir :: indexDir :: url :: Nil =>
         // reference POST /api/indexPage shape incl. error payloads;
-        // configured sites = the sites present in the corpus table
+        // configured sites = the DISTINCT sites of the corpus, computed
+        // in Spark before collecting (a row cap would wrongly reject
+        // urls of sites that first appear late in a large corpus)
         import org.apache.spark.sql.functions.col
         val sites = spark.read.parquet(pagesDir)
-          .select(col("url")).limit(100000)
-          .as[String](Encoders.STRING).collect()
-          .map(u => "https://" + IndexBuild.siteOf(u)).distinct.toSeq
+          .select(col("url")).as[String](Encoders.STRING)
+          .map(u => "https://" + IndexBuild.siteOf(u))(Encoders.STRING)
+          .distinct().collect().toSeq
         val api = new ControlApi(spark, pagesDir, indexDir, sites)
         val resp = api.indexPage(url)
         println(s"result=${resp.result}${resp.error.fold("")(e => s" error='$e'")}")

@@ -62,13 +62,32 @@ object IndexBuild {
   }
 
   final case class Config(
-      shards: Int = 8, // doc-hash shards for salted head terms
+      shards: Int = 8, // total shards for salted head terms (= siteGroups × doc subshards)
       saltThresholdDf: Long = 1000L, // global df above which a term is salted
-      nBatches: Int = 4, // resumable build batches
-      buckets: Int = 16) // term-hash storage partitions
+      nBatches: Int = 4, // resumable build batches (split by site hash)
+      buckets: Int = 16, // term-hash storage partitions
+      siteGroups: Int = 4) { // site-routing factor of `shards` (see shard scheme below)
+    require(shards % siteGroups == 0,
+      s"shards ($shards) must be a multiple of siteGroups ($siteGroups)")
+    /** doc-hash subshards inside each site group */
+    def docSubshards: Int = shards / siteGroups
+  }
 
   /** Graceful-stop marker polled between batches (ControlApi.stopIndexing). */
   val StopMarker = "_STOP"
+
+  /** Reference IndexingStatus enum values (IndexingStatus.java:3-8),
+    * used by the `site_status` lifecycle table. RANDOM_PAGE is declared
+    * by the reference but never assigned anywhere in its services (no
+    * call site sets it); it is modeled as a legal value for parity and
+    * is equally unused. */
+  object SiteStatus {
+    val Indexing = "INDEXING"
+    val Indexed = "INDEXED"
+    val Failed = "FAILED"
+    val RandomPage = "RANDOM_PAGE"
+    val All: Seq[String] = Seq(Indexing, Indexed, Failed, RandomPage)
+  }
 
   /** Reference F1: only pages with a valid HTTP status are lemmatized
     * (MorphologyServiceImpl.java:89-90; valid-codes {200, 308} from
@@ -113,12 +132,27 @@ object IndexBuild {
       org.apache.spark.unsafe.types.UTF8String.fromString(url),
       org.apache.spark.sql.types.StringType, 42L) & Long.MaxValue
 
-  /** Doc-hash shard of a doc id — MUST match the build-side expression
-    * pmod(xxhash64(doc_id), shards) (query-side WAND re-derives it). */
-  def shardOf(docId: Long, shards: Int): Int = {
+  /** Site-routing group of a site key — MUST match the build-side
+    * expression pmod(xxhash64(site), siteGroups). The query engine uses
+    * it to prune a site-scoped query to its group's shard range. */
+  def siteGroupOf(site: String, siteGroups: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(site),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % siteGroups) + siteGroups) % siteGroups).toInt
+  }
+
+  /** Resumable-batch id of a site — MUST match the build loop's
+    * pmod(xxhash64(site), nBatches) batch key. */
+  def siteBatchOf(site: String, nBatches: Int): Int = siteGroupOf(site, nBatches)
+
+  /** Composite shard of (site, doc) — the build-side expression in
+    * [[buildSegments]], re-derivable engine-side. */
+  def shardOf(site: String, docId: Long, cfg: Config): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       docId, org.apache.spark.sql.types.LongType, 42L)
-    (((h % shards) + shards) % shards).toInt
+    val sub = cfg.docSubshards
+    siteGroupOf(site, cfg.siteGroups) * sub + (((h % sub) + sub) % sub).toInt
   }
 
   /** Docs dimension; used for presentation joins and statistics. */
@@ -153,23 +187,39 @@ object IndexBuild {
   }
 
   /** Build encoded segments from postings, given the globally-decided
-    * salted head-term set.
+    * salted head-term set. `post` must carry columns
+    * (term, doc_id, tf, dl, site).
     *
     * Physical plan: ONE shuffle — `repartition(term, shard)` — then a
     * partition-local sort and a streaming encode pass; no driver
-    * collection anywhere. */
+    * collection anywhere.
+    *
+    * Shard scheme (head terms only; tail terms keep shard = -1):
+    *   shard = hash(site) % siteGroups × docSubshards
+    *         + hash(doc_id) % docSubshards
+    * i.e. Elasticsearch-style ROUTING by site composed with doc-hash
+    * splitting inside each site group. Every posting of a doc lands in
+    * the same shard (site is a function of the doc), so conjunctive
+    * queries stay shard-local exactly as with pure doc-hash sharding —
+    * and a SITE-SCOPED query prunes to its group's `docSubshards` shards
+    * (1/siteGroups of the salted postings) instead of scoring every
+    * global match. Trade-off (documented, the same one ES routing makes):
+    * a single mega-site concentrates in docSubshards shards; production
+    * raises docSubshards (or splits hot tenants) when site skew demands. */
   def buildSegments(
-      post: Dataset[PostingRow],
+      post: DataFrame,
       headTerms: DataFrame, // single column `term`
       cfg: Config,
       numPartitions: Int): Dataset[SegmentRow] = {
     val spark = post.sparkSession
     import spark.implicits._
 
-    val salted = post.toDF
+    val salted = post
       .join(broadcast(headTerms).withColumn("is_head", lit(true)), Seq("term"), "left")
       .withColumn("shard",
-        when(col("is_head"), pmod(xxhash64(col("doc_id")), lit(cfg.shards)).cast("int"))
+        when(col("is_head"),
+          (pmod(xxhash64(col("site")), lit(cfg.siteGroups)) * cfg.docSubshards +
+            pmod(xxhash64(col("doc_id")), lit(cfg.docSubshards))).cast("int"))
           .otherwise(lit(-1)))
       .select("term", "shard", "doc_id", "tf", "dl")
 
@@ -268,7 +318,8 @@ object IndexBuild {
     * lineage is appended only AFTER its segment write commits
     * (SURVEY.md §7 H5). Returns the number of batches actually built. */
   def run(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
-      cfg: Config = Config(), stopAfter: Int = Int.MaxValue): Int = {
+      cfg: Config = Config(), stopAfter: Int = Int.MaxValue,
+      clearStopMarker: Boolean = true): Int = {
     import spark.implicits._
     // partitionBy(bucket) with the default sort-based writer re-sorts every
     // task's rows — copying each multi-KB posting blob through the external
@@ -286,8 +337,13 @@ object IndexBuild {
       spark.sparkContext.defaultParallelism)
     val store = TableStore.open(spark, outDir)
     // clear a stale graceful-stop marker FIRST (before the long analyze
-    // phase) so a stop requested against THIS run is honored, not eaten
-    store.dropMarker(StopMarker)
+    // phase) so a stop requested against THIS run is honored, not eaten.
+    // ControlApi clears it synchronously in startIndexing() instead and
+    // passes clearStopMarker = false — a stop requested in the window
+    // between the API returning and the worker reaching this line must
+    // NOT be dropped (the reference's RunIndexMonitor flag can never
+    // lose a stop).
+    if (clearStopMarker) store.dropMarker(StopMarker)
 
     // ONE extract+lemmatize pass over the corpus, persisted (memory+disk
     // spill) — docs, lemma_stats and every posting batch derive from it.
@@ -358,7 +414,8 @@ object IndexBuild {
       lit(st.getAs[Double]("avgdl")).as("avgdl"),
       lit(st.getAs[Long]("total_tokens")).as("total_tokens"),
       lit(cfg.shards).as("shards"),
-      lit(cfg.nBatches).as("n_batches"))
+      lit(cfg.nBatches).as("n_batches"),
+      lit(cfg.siteGroups).as("site_groups"))
     // stats is a derived dimension, not the commit point — write it in the
     // background and join before the first lineage commit below
     val statsWriteF = Future(phase("stats write")(
@@ -393,8 +450,34 @@ object IndexBuild {
       Seq(docsF, statsWriteF, headTermsWriteF)
         .foreach(Await.result(_, Duration.Inf))
 
-    val typedPost = post.select("term", "doc_id", "tf", "dl").as[PostingRow]
+    // ── per-site status lifecycle (reference site.status / status_time /
+    // last_error; Site.java:16-34, SiteServiceImpl.java:83-91): the build
+    // appends INDEXING rows for every site up front, an INDEXED row per
+    // site when its batch's lineage commits, and FAILED rows (with the
+    // error) if a batch throws. Statistics reads the latest row per site.
+    // All writes are appends of tiny site lists — background futures. ──
+    var statusFutures = List.empty[Future[Unit]]
+    def appendStatus(sites: DataFrame, status: String, error: String): Future[Unit] = {
+      val f = Future {
+        store.write(
+          sites.select(col("site"), lit(status).as("status"),
+            lit(error).cast("string").as("error"),
+            current_timestamp().as("ts")),
+          "site_status", SaveMode.Append)
+      }
+      statusFutures ::= f
+      f
+    }
+    // batch key = site hash (see the loop below)
+    def siteBatch = pmod(xxhash64(col("site")), lit(cfg.nBatches)).cast("int")
     val done: Set[Int] = completedBatches(spark, outDir)
+    val allSites = analyzed.select("site").distinct()
+    // INDEXING stamp only for sites whose batch is still PENDING — a
+    // resumed run must not regress the status of already-committed sites
+    appendStatus(
+      if (done.isEmpty) allSites
+      else analyzed.filter(!siteBatch.isin(done.toSeq: _*)).select("site").distinct(),
+      SiteStatus.Indexing, null)
     var built = 0
     // Single-batch build: segments ARE the final index — write them
     // straight to `index/` and let mergeSegments no-op (a 1-way "merge"
@@ -406,44 +489,83 @@ object IndexBuild {
     // current batch's lineage commit; completed batches stay committed
     // and a later run resumes the rest.
     // `stopAfter` simulates a mid-build kill for the resume test (§5.7)
+    // batch key = site hash (the reference's unit of crawl/indexing is
+    // the site, ThreadIndexingManager.java:29-62): every site is wholly
+    // contained in one batch, so per-site status is exact — a site is
+    // INDEXED precisely when its batch's lineage row commits. Resume and
+    // graceful stop therefore operate at site granularity, like the
+    // reference's per-site crawler threads.
     for (b <- 0 until cfg.nBatches
         if !done.contains(b) && built < stopAfter && !store.markerExists(StopMarker)) {
-      // doc_id is non-negative (sign bit cleared) so % is a safe batch key
       val batchPost =
-        if (singleBatch) typedPost
-        else typedPost.filter(col("doc_id") % cfg.nBatches === b)
-      val segs = buildSegments(batchPost, headDf, cfg, numPartitions)
-      val segTable = if (singleBatch) "index" else s"segments/batch=$b"
-      phase(s"segments write b=$b")(store.write(segs.toDF, segTable,
-        SaveMode.Overwrite, partitionBy = Seq("bucket")))
-      awaitDims() // dimensions durable before the commit point
-      // lineage LAST — the batch's commit point (north_rule).
-      // posting_bytes from the store (no data re-read). Metric source:
-      // a single-batch build's term/posting counts equal the GLOBAL
-      // distinct-term count and Σ df, already computed by the head/counts
-      // aggregation above (zero extra jobs); multi-batch builds aggregate
-      // their own segment table (batch term sets are proper subsets of
-      // the global one).
-      val bytes = store.sizeInBytes(segTable)
-      val counts =
-        if (singleBatch)
-          spark.range(1).select(
-            lit(headAgg.getAs[Long]("term_count")).as("term_count"),
-            lit(headAgg.getAs[Long]("posting_count")).as("posting_count"))
-        else store.read(segTable).agg(
-          countDistinct(col("term")).as("term_count"),
-          coalesce(sum(col("doc_count")), lit(0L)).as("posting_count"))
-      val lin = counts.select(
-        lit(b).as("partition_id"),
-        lit(s"doc_id % ${cfg.nBatches} == $b").as("doc_range"),
-        lit(bytes).as("posting_bytes"),
-        col("term_count"), col("posting_count"),
-        lit("COMPLETE").as("status"),
-        current_timestamp().as("ts"))
-      phase("lineage")(store.write(lin, "lineage", SaveMode.Append))
-      built += 1
+        if (singleBatch) post
+        else post.filter(siteBatch === b)
+      try {
+        val segs = buildSegments(batchPost, headDf, cfg, numPartitions)
+        val segTable = if (singleBatch) "index" else s"segments/batch=$b"
+        phase(s"segments write b=$b")(store.write(segs.toDF, segTable,
+          SaveMode.Overwrite, partitionBy = Seq("bucket")))
+        awaitDims() // dimensions durable before the commit point
+        // lineage LAST — the batch's commit point (north_rule).
+        // posting_bytes from the store (no data re-read). Metric source:
+        // a single-batch build's term/posting counts equal the GLOBAL
+        // distinct-term count and Σ df, already computed by the
+        // head/counts aggregation above (zero extra jobs); multi-batch
+        // builds aggregate their own segment table (batch term sets are
+        // proper subsets of the global one).
+        val bytes = store.sizeInBytes(segTable)
+        val counts =
+          if (singleBatch)
+            spark.range(1).select(
+              lit(headAgg.getAs[Long]("term_count")).as("term_count"),
+              lit(headAgg.getAs[Long]("posting_count")).as("posting_count"))
+          else
+            // a batch whose site-hash slice is EMPTY writes no parquet
+            // files (partitioned write) — its lineage row records zeros
+            try store.read(segTable).agg(
+              countDistinct(col("term")).as("term_count"),
+              coalesce(sum(col("doc_count")), lit(0L)).as("posting_count"))
+            catch { case scala.util.control.NonFatal(_) =>
+              spark.range(1).select(
+                lit(0L).as("term_count"), lit(0L).as("posting_count"))
+            }
+        val lin = counts.select(
+          lit(b).as("partition_id"),
+          lit(s"pmod(xxhash64(site), ${cfg.nBatches}) == $b").as("doc_range"),
+          lit(bytes).as("posting_bytes"),
+          col("term_count"), col("posting_count"),
+          lit("COMPLETE").as("status"),
+          lit(null).cast("string").as("error"),
+          current_timestamp().as("ts"))
+        phase("lineage")(store.write(lin, "lineage", SaveMode.Append))
+        appendStatus(
+          if (singleBatch) allSites else analyzed.filter(siteBatch === b).select("site").distinct(),
+          SiteStatus.Indexed, null)
+        built += 1
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // failure is part of the lifecycle (reference FAILED status,
+          // ThreadIndexingManager.java:45-48): record a FAILED lineage
+          // row (NOT counted by completedBatches — a re-run retries the
+          // batch) and FAILED site rows carrying the error, then rethrow
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+          store.write(spark.range(1).select(
+            lit(b).as("partition_id"),
+            lit(s"pmod(xxhash64(site), ${cfg.nBatches}) == $b").as("doc_range"),
+            lit(0L).as("posting_bytes"),
+            lit(0L).as("term_count"), lit(0L).as("posting_count"),
+            lit("FAILED").as("status"),
+            lit(msg).as("error"),
+            current_timestamp().as("ts")), "lineage", SaveMode.Append)
+          Await.result(appendStatus(
+            if (singleBatch) allSites
+            else analyzed.filter(siteBatch === b).select("site").distinct(),
+            SiteStatus.Failed, msg), Duration.Inf)
+          throw e
+      }
     }
     awaitDims() // loop may have run zero batches (resume/stop) — still join
+    statusFutures.foreach(Await.result(_, Duration.Inf))
     analyzed.unpersist()
     if (singleBatch && built > 0) {
       // the direct-to-index write IS the merged index, as of batch 0
@@ -473,7 +595,12 @@ object IndexBuild {
     val store = TableStore.open(spark, outDir)
     // single-batch builds write segments directly to index/ — nothing to merge
     if (!store.exists("segments")) return
-    val segs = store.read("segments")
+    // a graceful stop can leave only EMPTY batch dirs (site-hash batches
+    // whose slice held no sites write a dir but no files) — no schema to
+    // infer, nothing to merge yet
+    val segs = try store.read("segments") catch {
+      case scala.util.control.NonFatal(_) => return
+    }
     val merged = segs.select("bucket", "term", "shard", "doc_count", "block_max", "postings")
       .as[(Int, String, Int, Int, Double, Array[Byte])]
       .groupByKey { case (bucket, term, shard, _, _, _) => (bucket, term, shard) }

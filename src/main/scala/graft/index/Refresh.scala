@@ -67,9 +67,9 @@ object Refresh {
     // tombstones FIRST would orphan the old version on a crash before the
     // delta lands; delta-then-tombstone means a crash re-runs the refresh
     // idempotently (same doc_ids, same batch semantics).
-    val post = analyzed.select(col("doc_id"),
-        explode(col("terms")).as(Seq("term", "tf")), col("dl"))
-      .select("term", "doc_id", "tf", "dl").as[PostingRow]
+    val post = analyzed.select(col("doc_id"), col("site"), col("dl"),
+        explode(col("terms")).as(Seq("term", "tf")))
+      .select("term", "doc_id", "tf", "dl", "site")
     val headDf = store.readOpt("head_terms")
       .getOrElse(Seq.empty[String].toDF("term"))
     store.write(
@@ -96,8 +96,16 @@ object Refresh {
       lit(0L).as("term_count"),
       lit(nNew).as("posting_count"),
       lit("COMPLETE").as("status"),
+      lit(null).cast("string").as("error"),
       current_timestamp().as("ts")),
       "lineage", SaveMode.Append)
+    // per-site lifecycle: stamp the refreshed sites' status_time (the
+    // reference's updateStatusOnSite path, SiteServiceImpl.java:83-91)
+    store.write(
+      analyzed.select("site").distinct()
+        .select(col("site"), lit(IndexBuild.SiteStatus.Indexed).as("status"),
+          lit(null).cast("string").as("error"), current_timestamp().as("ts")),
+      "site_status", SaveMode.Append)
     analyzed.unpersist()
 
     mergeWithTombstones(spark, outDir, cfg)
@@ -186,8 +194,8 @@ object Refresh {
     alive.unpersist()
     val prevStats = store.read("stats").collect()(0)
     val shards = prevStats.getAs[Int]("shards")
-    val nBatches = // carried forward; older indexes predate the column
-      try prevStats.getAs[Int]("n_batches") catch { case _: Exception => 1 }
+    def carried(name: String, dflt: Int): Int = // older indexes predate the column
+      try prevStats.getAs[Int](name) catch { case _: Exception => dflt }
     store.replace(
       docsDim.agg(
         count(lit(1)).as("n_docs"),
@@ -195,7 +203,8 @@ object Refresh {
         avg(col("dl")).as("avgdl"),
         sum(col("dl")).as("total_tokens"))
         .withColumn("shards", lit(shards))
-        .withColumn("n_batches", lit(nBatches)),
+        .withColumn("n_batches", lit(carried("n_batches", 1)))
+        .withColumn("site_groups", lit(carried("site_groups", cfg.siteGroups))),
       "stats")
   }
 

@@ -1,6 +1,7 @@
 package graft.queryengine
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{HtmlText, Lemmatizer, Scorer, PostingCodec, ReferenceTfSum, Snippet}
@@ -60,7 +61,7 @@ final class SearchEngine(
 
   // ── reloadable index state (rebuilt when the fingerprint changes) ──
   private final case class IndexState(
-      nDocs: Long, avgdl: Double, shards: Int,
+      nDocs: Long, avgdl: Double, shards: Int, siteGroups: Int,
       docsDf: DataFrame, lemmaStatsDf: DataFrame, segmentsDf: DataFrame,
       headTerms: Set[String], docCountBySite: Map[String, Long])
 
@@ -82,6 +83,8 @@ final class SearchEngine(
       nDocs = stats.getAs[Long]("n_docs"),
       avgdl = stats.getAs[Double]("avgdl"),
       shards = stats.getAs[Int]("shards"),
+      // 0 = index predates site-routed sharding → scoped pruning disabled
+      siteGroups = try stats.getAs[Int]("site_groups") catch { case _: Exception => 0 },
       docsDf = docsDf, lemmaStatsDf = lemmaStatsDf, segmentsDf = segmentsDf,
       headTerms = headTerms,
       docCountBySite =
@@ -113,6 +116,7 @@ final class SearchEngine(
   def nDocs: Long = state.nDocs
   def avgdl: Double = state.avgdl
   def shards: Int = state.shards
+  def siteGroups: Int = state.siteGroups
   private def docsDf: DataFrame = state.docsDf
   private def lemmaStatsDf: DataFrame = state.lemmaStatsDf
   private def segmentsDf: DataFrame = state.segmentsDf
@@ -257,7 +261,18 @@ final class SearchEngine(
     val scoreDfMap: Map[String, Long] =
       if (site.isEmpty) dfMap else globalDf(ordered)
 
-    runWand(ordered, scoreDfMap, Int.MaxValue, exact = true) match {
+    // site routing (build shard scheme: shard = group × subshards + docHash):
+    // a scoped query evaluates ONLY its site group's shard range — salted
+    // postings of other groups are never fetched or scored. Residual
+    // same-group sites are removed by the docs join below.
+    val siteShards: Option[Seq[Int]] = site.collect {
+      case s if siteGroups > 0 && shards % siteGroups == 0 =>
+        val sub = shards / siteGroups
+        val g = IndexBuild.siteGroupOf(s, siteGroups)
+        (g * sub until (g + 1) * sub).toSeq
+    }
+
+    runWand(ordered, scoreDfMap, Int.MaxValue, exact = true, siteShards) match {
       case LocalHits(hits, totalCount) =>
         // small/moderate result: driver ranking (data already local)
         val hitsDf = hits.map(h => (h.docId, h.score, h.tfSum)).toSeq
@@ -378,13 +393,21 @@ final class SearchEngine(
       ordered: Seq[String],
       dfMap: Map[String, Long],
       k: Int,
-      exact: Boolean): WandOutcome = {
+      exact: Boolean,
+      siteShards: Option[Seq[Int]] = None): WandOutcome = {
 
     val cachedTerms = ordered.filter(t => postingCache.contains(t))
     val missing = ordered.filterNot(cachedTerms.contains)
     val buckets = missing.map(IndexBuild.termBucket(_, bucketCount)).distinct
+    // scoped queries additionally prune salted segments to the site
+    // group's shard range at the SCAN (tail segments, shard = -1, always
+    // qualify); an unscoped query keeps the predicate trivially true
+    val shardPred = siteShards
+      .map(ss => col("shard") === -1 || col("shard").isin(ss: _*))
+      .getOrElse(lit(true))
     val segs = segmentsDf
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(missing: _*))
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(missing: _*)
+        && shardPred)
       .select("term", "shard", "doc_count", "postings")
       .as[(String, Int, Int, Array[Byte])]
 
@@ -419,21 +442,28 @@ final class SearchEngine(
         if (rows == null) Seq.empty else rows.map { case (sh, b) => (t, sh, b) }
       }
 
+    // evaluation groups: scoped queries touch only the site group's
+    // shard range; unscoped evaluate every shard
+    val evalShards: Seq[Int] = siteShards.getOrElse(0 until s)
     if (totalPostings <= localEvalLimit) {
       // Local path (tail-only, moderate salted, or full cache hit):
       // fetch missing segments in at most ONE job, cache them, and
       // evaluate doc-shard groups on the driver. A repeated query runs
-      // zero Spark jobs.
+      // zero Spark jobs. A SCOPED fetch is shard-pruned and therefore
+      // partial — it must not populate the full-segment-set cache.
       val fetched = segs.collect().toSeq
-      fetched.groupBy(_._1).foreach { case (t, rs) =>
-        postingCache.put(t, rs.map(r => (r._2, r._4)))
+      if (siteShards.isEmpty) {
+        fetched.groupBy(_._1).foreach { case (t, rs) =>
+          postingCache.put(t, rs.map(r => (r._2, r._4)))
+        }
+        missing.filterNot(t => fetched.exists(_._1 == t))
+          .foreach(t => postingCache.put(t, Seq.empty))
       }
-      missing.filterNot(t => fetched.exists(_._1 == t))
-        .foreach(t => postingCache.put(t, Seq.empty))
-      val rows = cachedRows(ordered)
+      val rows = cachedRows(cachedTerms) ++
+        fetched.map(r => (r._1, r._2, r._4))
       val results: Array[Wand.ShardResult] =
         if (!anySalted) Array(evalGroup(rows.map(r => (r._1, r._3))))
-        else (0 until s).map { g =>
+        else evalShards.map { g =>
           evalGroup(rows.collect {
             case (t, sh, bytes) if sh == g || sh < 0 => (t, bytes)
           })
@@ -441,17 +471,19 @@ final class SearchEngine(
       LocalHits(results.flatMap(_.hits), results.map(_.matchCount).sum)
     } else {
       // Large query: shard-local distributed WAND. Salted segments
-      // stay on their doc shard; unsalted ones replicate to each shard.
-      // Re-scan ALL query terms here — the `segs` above covers only
-      // cache-missing terms, and driver-cached rows can't feed a
-      // distributed evaluation.
+      // stay on their doc shard; unsalted ones replicate to each
+      // evaluated shard. Re-scan ALL query terms here — the `segs` above
+      // covers only cache-missing terms, and driver-cached rows can't
+      // feed a distributed evaluation.
       val allBuckets = ordered.map(IndexBuild.termBucket(_, bucketCount)).distinct
+      val groupsArr = evalShards.toArray
       val shardRows = segmentsDf
-        .filter(col("bucket").isin(allBuckets: _*) && col("term").isin(ordered: _*))
+        .filter(col("bucket").isin(allBuckets: _*) && col("term").isin(ordered: _*)
+          && shardPred)
         .select("term", "shard", "postings")
         .as[(String, Int, Array[Byte])]
         .flatMap { case (t, sh, bytes) =>
-          if (sh < 0) (0 until s).map(g => (g, t, bytes)) else Seq((sh, t, bytes))
+          if (sh < 0) groupsArr.map(g => (g, t, bytes)).toSeq else Seq((sh, t, bytes))
         }
         .groupByKey(_._1)
       if (exact && k == Int.MaxValue) {
@@ -511,10 +543,16 @@ final class SearchEngine(
   * full reference parity — per-site rows carry status / status_time /
   * last_error / pages / lemmas (DetailedStatisticsItem.java:6-14) and the
   * totals row (site = "TOTAL") carries sites / pages / lemmas and the
-  * `indexing` flag (TotalStatistics.java:6-11). Status lifecycle derives
-  * from the lineage table: INDEXED when every planned batch committed,
-  * INDEXING while batches are outstanding, FAILED if any lineage row says
-  * so; status_time = the site's latest lineage commit timestamp. */
+  * `indexing` flag (TotalStatistics.java:6-11).
+  *
+  * Per-site lifecycle is GENUINE, not a global stamp: the build appends
+  * rows to `site_status` (INDEXING at start, INDEXED per committed
+  * site-batch, FAILED with the error on a thrown batch — the batch key is
+  * the site hash, so a site is INDEXED exactly when its batch commits),
+  * refresh stamps its sites, and this endpoint reads the LATEST row per
+  * site — a half-built or partially-failed multi-site corpus reports each
+  * site's true state independently, like the reference's per-site crawler
+  * threads (ThreadIndexingManager.java:45-58). */
 object Statistics {
   def compute(spark: SparkSession, indexDir: String): DataFrame = {
     import spark.implicits._
@@ -526,47 +564,34 @@ object Statistics {
     val perSite = pages.join(lem, Seq("site"), "full_outer")
       .na.fill(0L, Seq("pages", "lemmas"))
 
-    // lineage: global build lifecycle (the build is corpus-wide, so every
-    // site shares it — the reference tracks it per site because it crawls
-    // per site; the table-scan design indexes all sites in one pipeline)
-    val (status, statusTime, lastError, indexing) =
-      try {
-        val lin = store.read("lineage")
-        val nBatchesPlanned =
-          try store.read("stats").collect()(0).getAs[Int]("n_batches")
-          catch { case _: Exception => -1 }
-        val rows = lin.agg(
-          count(when(col("status") === "COMPLETE", 1)).as("done"),
-          count(when(col("status") === "FAILED", 1)).as("failed"),
-          max(col("ts")).as("ts")).collect()(0)
-        val done = rows.getAs[Long]("done")
-        val failed = rows.getAs[Long]("failed")
-        val ts = rows.getAs[java.sql.Timestamp]("ts")
-        val inProgress = nBatchesPlanned > 0 && done < nBatchesPlanned
-        val st =
-          if (failed > 0) "FAILED" else if (inProgress) "INDEXING" else "INDEXED"
-        (st, ts, if (failed > 0) "batch failed (see lineage)" else null,
-          inProgress)
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          ("INDEXING", null, null, true) // no lineage yet: build in flight
-      }
+    // latest lifecycle row per site (sites with docs but no status row —
+    // e.g. an index predating the lifecycle table — default to INDEXING)
+    val w = Window.partitionBy(col("site")).orderBy(desc("ts"))
+    val latest = store.readOpt("site_status") match {
+      case Some(ss) => ss
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("site"), col("status"),
+          col("ts").as("status_time"), col("error"))
+      case None => Seq.empty[(String, String, java.sql.Timestamp, String)]
+        .toDF("site", "status", "status_time", "error")
+    }
 
-    val detailed = perSite
-      .withColumn("status", lit(status))
-      .withColumn("status_time", lit(statusTime).cast("timestamp"))
-      .withColumn("error", lit(lastError).cast("string"))
+    val detailed = perSite.join(latest, Seq("site"), "left")
+      .na.fill("INDEXING", Seq("status"))
       .select("site", "status", "status_time", "error", "pages", "lemmas")
 
     // totals row (reference TotalStatistics: sites/pages/lemmas/indexing);
     // `sites` is reported through the per-site row count, `indexing`
-    // through status on the TOTAL row.
+    // through status on the TOTAL row: INDEXING while ANY site is.
     val totals = detailed.agg(
-      sum(col("pages")).as("pages"), sum(col("lemmas")).as("lemmas"))
+      sum(col("pages")).as("pages"), sum(col("lemmas")).as("lemmas"),
+      max(when(col("status") === "INDEXING", 1).otherwise(0)).as("any_indexing"),
+      max(col("status_time")).as("status_time"))
       .select(
         lit("TOTAL").as("site"),
-        lit(if (indexing) "INDEXING" else "INDEXED").as("status"),
-        lit(statusTime).cast("timestamp").as("status_time"),
+        when(col("any_indexing") === 1, "INDEXING").otherwise("INDEXED").as("status"),
+        col("status_time"),
         lit(null).cast("string").as("error"),
         col("pages"), col("lemmas"))
 

@@ -93,20 +93,33 @@ class ControlApiSpec extends AnyFunSuite {
     val dup = api.startIndexing()
     assert(!dup.result && dup.error.contains("Индексация уже запущена"))
 
-    // let the build pass the marker-clear + analyze, then request stop
-    Thread.sleep(1000)
+    // stop as soon as the build shows progress (≥1 committed batch): a
+    // fixed sleep is timing-flaky — a warm machine can finish the whole
+    // build first, a cold one may not have committed anything yet
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (IndexBuild.completedBatches(spark, s"$work/idx").isEmpty
+        && api.isIndexingRunning && System.nanoTime() < deadline)
+      Thread.sleep(50)
     val stop = api.stopIndexing()
-    assert(stop.result, "stop while running must succeed")
     api.awaitIndexing()
     assert(api.lastError.isEmpty, s"build failed: ${api.lastError}")
     assert(!api.isIndexingRunning)
 
     val store = TableStore.open(spark, s"$work/idx")
     val doneAfterStop = IndexBuild.completedBatches(spark, s"$work/idx").size
-    assert(doneAfterStop < cfg.nBatches,
-      s"graceful stop had no effect ($doneAfterStop/${cfg.nBatches} batches)")
+    if (stop.result) {
+      // stop landed while running; it may still have raced the last
+      // batch's commit — only a TRULY partial build must resume
+      assert(doneAfterStop <= cfg.nBatches)
+    } else {
+      // the build finished before the stop request — legal outcome; the
+      // idle-refusal payload must be the reference's
+      assert(stop.error.contains("Индексация не запущена"))
+      assert(doneAfterStop == cfg.nBatches)
+    }
 
-    // resume: a fresh start completes the remaining batches
+    // resume (no-op if the build already completed): ends with ALL
+    // batches committed exactly once — lineage is monotonic
     assert(api.startIndexing().result)
     api.awaitIndexing()
     assert(api.lastError.isEmpty, s"resume failed: ${api.lastError}")
@@ -114,5 +127,29 @@ class ControlApiSpec extends AnyFunSuite {
     // and the engine over the resumed index sees the whole corpus
     val nDocs = store.read("stats").collect()(0).getAs[Long]("n_docs")
     assert(nDocs == 800L)
+  }
+
+  test("stop requested immediately after start is never lost (marker cleared synchronously)") {
+    val work = Files.createTempDirectory("graft-ctl3").toString
+    CorpusGen.generate(spark, CorpusGen.Config(2, 400))
+      .write.mode("overwrite").parquet(s"$work/pages")
+    val api = new ControlApi(spark, s"$work/pages", s"$work/idx",
+      Seq("https://site0.test", "https://site1.test"), cfg)
+    // the race window: stop lands after startIndexing() returns but
+    // before the worker thread reaches the batch loop — the old
+    // entry-time marker clear silently ate such a stop
+    assert(api.startIndexing().result)
+    val stop = api.stopIndexing()
+    assert(stop.result, "stop while running must succeed")
+    api.awaitIndexing()
+    assert(api.lastError.isEmpty, s"build failed: ${api.lastError}")
+    val done = IndexBuild.completedBatches(spark, s"$work/idx").size
+    assert(done < cfg.nBatches,
+      s"immediate stop was lost: $done/${cfg.nBatches} batches ran")
+    // the eaten-stop failure mode would complete ALL batches; a resumed
+    // start must finish the rest
+    assert(api.startIndexing().result)
+    api.awaitIndexing()
+    assert(IndexBuild.completedBatches(spark, s"$work/idx").size == cfg.nBatches)
   }
 }

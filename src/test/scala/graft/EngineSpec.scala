@@ -230,4 +230,38 @@ class EngineSpec extends AnyFunSuite {
     assert(got.count == exp.count.toLong)
     assert(got.data.map(i => i.site + i.uri) == exp.results.take(50).map(_.url))
   }
+
+  test("per-site status lifecycle: half-built corpus reports INDEXED/INDEXING independently per site") {
+    val work = Files.createTempDirectory("graft-status").toString
+    val cfg4 = IndexBuild.Config(shards = 4, saltThresholdDf = 120L, nBatches = 4, buckets = 16)
+    CorpusGen.generate(spark, CorpusGen.Config(nSites = 4, pagesPerSite = 100))
+      .write.mode("overwrite").parquet(s"$work/pages")
+    val ds = spark.read.parquet(s"$work/pages").as[PageRow](
+      org.apache.spark.sql.Encoders.product[PageRow])
+    // batches are keyed by site hash; stop after 2 of 4 — the 4 fixture
+    // sites hash to 4 DISTINCT batches, so exactly 2 sites are committed
+    IndexBuild.run(spark, ds, s"$work/idx", cfg4, stopAfter = 2)
+    val committed = IndexBuild.completedBatches(spark, s"$work/idx")
+    assert(committed.size == 2)
+    val rows = Statistics.compute(spark, s"$work/idx").collect()
+    val (totalRows, perSite) = rows.partition(_.getAs[String]("site") == "TOTAL")
+    assert(perSite.length == 4)
+    val expIndexed = perSite.map(_.getAs[String]("site"))
+      .filter(s => committed.contains(IndexBuild.siteBatchOf(s, 4))).toSet
+    assert(expIndexed.size == 2, s"fixture sites must span committed+pending batches: $expIndexed")
+    perSite.foreach { r =>
+      val s = r.getAs[String]("site")
+      val exp = if (expIndexed.contains(s)) "INDEXED" else "INDEXING"
+      assert(r.getAs[String]("status") == exp, s"site $s expected $exp")
+      assert(r.getAs[java.sql.Timestamp]("status_time") != null)
+      assert(r.getAs[String]("error") == null)
+    }
+    // TOTAL row: indexing while any site is pending
+    assert(totalRows.head.getAs[String]("status") == "INDEXING")
+    // completing the build flips every site to INDEXED
+    IndexBuild.run(spark, ds, s"$work/idx", cfg4)
+    IndexBuild.mergeSegments(spark, s"$work/idx")
+    Statistics.compute(spark, s"$work/idx").collect()
+      .foreach(r => assert(r.getAs[String]("status") == "INDEXED"))
+  }
 }
