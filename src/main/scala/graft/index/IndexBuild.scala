@@ -387,6 +387,17 @@ object IndexBuild {
       analyzed.select("doc_id", "url", "site", "lang", "dl"),
       "docs", SaveMode.Overwrite)))
 
+    // FORWARD index (doc -> its distinct terms): the structure that makes
+    // a later single-page refresh/delete O(doc) instead of O(corpus) —
+    // it names exactly the term-buckets a doc's postings live in, so
+    // compaction rewrites only those partitions (Refresh.compactTouched).
+    // The reference gets this for free from its relational index table
+    // (IndexEntity rows by page_id); a posting-list engine must store it
+    // explicitly (Lucene's analogue: per-doc term vectors).
+    val docTermsF = Future(phase("doc_terms write")(store.write(
+      analyzed.select(col("doc_id"), map_keys(col("terms")).as("terms")),
+      "doc_terms", SaveMode.Overwrite)))
+
     val post = analyzed
       .select(col("doc_id"), col("site"), col("dl"), explode(col("terms")).as(Seq("term", "tf")))
 
@@ -415,7 +426,8 @@ object IndexBuild {
       lit(st.getAs[Long]("total_tokens")).as("total_tokens"),
       lit(cfg.shards).as("shards"),
       lit(cfg.nBatches).as("n_batches"),
-      lit(cfg.siteGroups).as("site_groups"))
+      lit(cfg.siteGroups).as("site_groups"),
+      lit(cfg.buckets).as("buckets"))
     // stats is a derived dimension, not the commit point — write it in the
     // background and join before the first lineage commit below
     val statsWriteF = Future(phase("stats write")(
@@ -447,7 +459,7 @@ object IndexBuild {
     // every dimension write must be durable before a lineage row declares
     // the batch COMPLETE (lineage is the commit point)
     def awaitDims(): Unit =
-      Seq(docsF, statsWriteF, headTermsWriteF)
+      Seq(docsF, docTermsF, statsWriteF, headTermsWriteF)
         .foreach(Await.result(_, Duration.Inf))
 
     // ── per-site status lifecycle (reference site.status / status_time /

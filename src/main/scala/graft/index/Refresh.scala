@@ -80,12 +80,40 @@ object Refresh {
     store.write(analyzed.select(col("doc_id"), lit(batch).as("as_of_batch")),
       "tombstones", SaveMode.Append)
 
+    // touched terms = OLD version's terms (from the forward doc_terms
+    // table — names the buckets holding the postings to tombstone) ∪ NEW
+    // version's terms. Materialized BEFORE doc_terms is replaced below.
+    val newIds = analyzed.select("doc_id")
+    val hadForward = store.exists("doc_terms")
+    // localCheckpoint (NOT persist): the doc_terms/docs tables are
+    // REPLACED below, and a replace invalidates+recomputes any cached
+    // plan that references the table — a lineage-cut snapshot is the only
+    // value that survives its source's replacement
+    val touched = (store.readOpt("doc_terms") match {
+      case Some(dt) => dt.join(newIds, Seq("doc_id"))
+        .select(explode(col("terms")).as("term"))
+      case None => analyzed.limit(0).select(lit("").as("term"))
+    }).union(analyzed.select(explode(map_keys(col("terms"))).as("term")))
+      .distinct()
+      .localCheckpoint(true)
+
     // refresh docs dim: latest row per url wins
     val newDocs = analyzed.select("doc_id", "url", "site", "lang", "dl")
     val oldDocs = store.read("docs")
-    val mergedDocs = oldDocs.join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val mergedDocs = oldDocs.join(newIds, Seq("doc_id"), "left_anti")
       .union(newDocs)
     store.replace(mergedDocs, "docs")
+
+    // forward index follows the docs dim: latest version's term set wins.
+    // An index that PREDATES doc_terms keeps none (a partial forward
+    // table would silently break later pruned compactions) — such an
+    // index always takes the full-merge path below.
+    if (hadForward) {
+      val newDocTerms = analyzed.select(col("doc_id"), map_keys(col("terms")).as("terms"))
+      store.replace(
+        store.read("doc_terms").join(newIds, Seq("doc_id"), "left_anti")
+          .union(newDocTerms), "doc_terms")
+    }
 
     // lineage commit row for the delta
     val nNew = analyzed.count()
@@ -108,7 +136,8 @@ object Refresh {
       "site_status", SaveMode.Append)
     analyzed.unpersist()
 
-    mergeWithTombstones(spark, outDir, cfg)
+    if (hadForward) compactTouched(spark, outDir, cfg, touched)
+    else mergeWithTombstones(spark, outDir, cfg)
   }
 
   /** Delete docs by url (no replacement). */
@@ -117,14 +146,25 @@ object Refresh {
     import spark.implicits._
     val store = TableStore.open(spark, outDir)
     val batch = nextBatch(spark, outDir)
+    val idsDf = urls.map(IndexBuild.stableDocId).toDF("doc_id")
+    val hadForward = store.exists("doc_terms")
+    // the deleted docs' terms (forward lookup) name the buckets to
+    // compact; lineage-cut snapshot — doc_terms is replaced below
+    val touched = (store.readOpt("doc_terms") match {
+      case Some(dt) => dt.join(idsDf, Seq("doc_id"))
+        .select(explode(col("terms")).as("term")).distinct()
+      case None => Seq.empty[String].toDF("term")
+    }).localCheckpoint(true)
     store.write(
       urls.map(u => (IndexBuild.stableDocId(u), batch)).toDF("doc_id", "as_of_batch"),
       "tombstones", SaveMode.Append)
-    val ids = urls.map(IndexBuild.stableDocId)
-    val docs = store.read("docs")
-      .filter(!col("doc_id").isin(ids: _*))
-    store.replace(docs, "docs")
-    mergeWithTombstones(spark, outDir, cfg)
+    store.replace(
+      store.read("docs").join(idsDf, Seq("doc_id"), "left_anti"), "docs")
+    if (hadForward)
+      store.replace(
+        store.read("doc_terms").join(idsDf, Seq("doc_id"), "left_anti"), "doc_terms")
+    if (hadForward) compactTouched(spark, outDir, cfg, touched)
+    else mergeWithTombstones(spark, outDir, cfg)
   }
 
   /** Sort-merge base index + delta batches with equality deletes applied
@@ -164,11 +204,14 @@ object Refresh {
           (batch, term, shard, p.docId, p.tf, p.dl))
       }
       .toDF("batch", "term", "shard", "doc_id", "tf", "dl")
+    // lineage-cut snapshot (not persist): alive is read again for the
+    // lemma_stats rebuild AFTER `index` — its source — is replaced; a
+    // cached plan would be invalidated and recomputed over the new table
     val alive = exploded
       .join(tombDf, Seq("doc_id"), "left")
       .filter(col("tomb_batch").isNull || col("tomb_batch") <= col("batch"))
       .select("term", "shard", "doc_id", "tf", "dl")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val numPartitions = math.max(
       spark.sessionState.conf.numShufflePartitions,
@@ -191,7 +234,13 @@ object Refresh {
       alive.join(docsDim.select("doc_id", "site"), Seq("doc_id"))
         .groupBy("term", "site").agg(count(lit(1)).as("df")),
       "lemma_stats")
-    alive.unpersist()
+    rebuildStats(spark, store, docsDim, cfg)
+  }
+
+  /** corpus-level stats (N, avgdl) from the docs dim — exact after any
+    * refresh/delete because docs is replaced latest-version-wins. */
+  private def rebuildStats(spark: SparkSession, store: TableStore,
+      docsDim: DataFrame, cfg: IndexBuild.Config): Unit = {
     val prevStats = store.read("stats").collect()(0)
     val shards = prevStats.getAs[Int]("shards")
     def carried(name: String, dflt: Int): Int = // older indexes predate the column
@@ -204,8 +253,109 @@ object Refresh {
         sum(col("dl")).as("total_tokens"))
         .withColumn("shards", lit(shards))
         .withColumn("n_batches", lit(carried("n_batches", 1)))
-        .withColumn("site_groups", lit(carried("site_groups", cfg.siteGroups))),
+        .withColumn("site_groups", lit(carried("site_groups", cfg.siteGroups)))
+        .withColumn("buckets", lit(carried("buckets", cfg.buckets))),
       "stats")
+  }
+
+  /** BUCKET-PRUNED compaction — the O(touched), not O(corpus), refresh
+    * path. `touchedTerms` (old ∪ new term sets of the refreshed/deleted
+    * docs, from the forward doc_terms table) names every term-bucket
+    * that can possibly hold an affected posting; only those partitions
+    * are decoded, tombstone-filtered, re-encoded and overwritten —
+    * untouched bucket partitions keep their files byte-identical.
+    *
+    * Granularity note: pruning is per storage partition (`bucket`), so
+    * its selectivity is buckets ÷ distinct-terms-per-doc — production
+    * sizes `buckets` with the corpus (thousands of partitions at 10^12
+    * docs, like Iceberg partition counts), making a one-page refresh
+    * touch a few permille of the index. The in-sandbox default of 16
+    * exists only to keep tiny test indexes from fragmenting.
+    *
+    * Derived aggregates stay EXACT: lemma_stats rows for touched terms
+    * are recomputed from the rewritten buckets' alive postings and
+    * spliced against the untouched rows; stats rebuild from the docs
+    * dim. Crash recovery: tombstones and delta batches are retained, so
+    * re-running the refresh (or a full mergeWithTombstones) after a
+    * crash mid-overwrite converges to the same state — the Iceberg
+    * production mapping makes the partition overwrite a single atomic
+    * commit instead. */
+  def compactTouched(spark: SparkSession, outDir: String,
+      cfg: IndexBuild.Config, touchedTerms: DataFrame): Unit = {
+    import spark.implicits._
+    val store = TableStore.open(spark, outDir)
+    val asOf = indexAsOf(spark, outDir)
+    val maxBatch = nextBatch(spark, outDir) - 1
+
+    val buckets: Seq[Int] = touchedTerms
+      .select(pmod(xxhash64(col("term")), lit(cfg.buckets)).cast("int").as("bucket"))
+      .distinct().as[Int].collect().toSeq
+    if (buckets.isEmpty) { // nothing indexed was touched (empty page)
+      store.write(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
+        "index_meta", SaveMode.Overwrite)
+      rebuildStats(spark, store, store.read("docs"), cfg)
+      return
+    }
+
+    val tombDf = store.readOpt("tombstones")
+      .map(_.groupBy("doc_id").agg(max("as_of_batch").as("tomb_batch")))
+      .getOrElse(Seq.empty[(Long, Int)].toDF("doc_id", "tomb_batch"))
+
+    val base = store.read("index")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(lit(asOf).as("batch"), col("term"), col("shard"), col("postings"))
+    val deltas = store.readOpt("segments")
+      .map(_.filter(col("batch") > asOf && col("bucket").isin(buckets: _*))
+        .select(col("batch"), col("term"), col("shard"), col("postings")))
+      .getOrElse(base.limit(0))
+
+    val exploded = base.union(deltas)
+      .as[(Int, String, Int, Array[Byte])]
+      .flatMap { case (batch, term, shard, bytes) =>
+        PostingCodec.decode(bytes).iterator.map(p =>
+          (batch, term, shard, p.docId, p.tf, p.dl))
+      }
+      .toDF("batch", "term", "shard", "doc_id", "tf", "dl")
+    // lineage-cut snapshot: alive feeds the lemma_stats recompute AFTER
+    // the index partitions it was derived from are overwritten
+    val alive = exploded
+      .join(tombDf, Seq("doc_id"), "left")
+      .filter(col("tomb_batch").isNull || col("tomb_batch") <= col("batch"))
+      .select("term", "shard", "doc_id", "tf", "dl")
+      .localCheckpoint(true)
+
+    val numPartitions = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val merged = IndexBuild.encodeSortedRows(
+      alive
+        .repartition(numPartitions, col("term"), col("shard"))
+        .sortWithinPartitions("term", "shard", "doc_id"),
+      cfg.buckets)
+
+    // overwrite ONLY the touched partitions; a bucket whose postings all
+    // died produces no rows — dynamic overwrite won't touch it, so its
+    // stale partition dir is dropped explicitly
+    store.overwritePartitions(merged.toDF, "index", Seq("bucket"))
+    val aliveBuckets = alive
+      .select(pmod(xxhash64(col("term")), lit(cfg.buckets)).cast("int").as("bucket"))
+      .distinct().as[Int].collect().toSet
+    (buckets.toSet -- aliveBuckets).foreach(b => store.drop(s"index/bucket=$b"))
+    store.write(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
+      "index_meta", SaveMode.Overwrite)
+
+    // lemma_stats: recompute rows of TOUCHED terms from the alive rows,
+    // keep every other row as-is (exact df for pruning/ordering)
+    val docsDim = store.read("docs")
+    val recomputed = alive
+      .join(touchedTerms, Seq("term"), "leftsemi")
+      .join(docsDim.select("doc_id", "site"), Seq("doc_id"))
+      .groupBy("term", "site").agg(count(lit(1)).as("df"))
+    val untouchedRows = store.read("lemma_stats")
+      .join(touchedTerms, Seq("term"), "left_anti")
+    store.replace(untouchedRows.unionByName(recomputed), "lemma_stats")
+
+    rebuildStats(spark, store, docsDim, cfg)
   }
 
 }

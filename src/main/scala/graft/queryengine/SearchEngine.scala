@@ -62,6 +62,7 @@ final class SearchEngine(
   // ── reloadable index state (rebuilt when the fingerprint changes) ──
   private final case class IndexState(
       nDocs: Long, avgdl: Double, shards: Int, siteGroups: Int,
+      buckets: Int,
       docsDf: DataFrame, lemmaStatsDf: DataFrame, segmentsDf: DataFrame,
       headTerms: Set[String], docCountBySite: Map[String, Long])
 
@@ -85,6 +86,8 @@ final class SearchEngine(
       shards = stats.getAs[Int]("shards"),
       // 0 = index predates site-routed sharding → scoped pruning disabled
       siteGroups = try stats.getAs[Int]("site_groups") catch { case _: Exception => 0 },
+      // older indexes predate the column → build-default bucket count
+      buckets = try stats.getAs[Int]("buckets") catch { case _: Exception => IndexBuild.Config().buckets },
       docsDf = docsDf, lemmaStatsDf = lemmaStatsDf, segmentsDf = segmentsDf,
       headTerms = headTerms,
       docCountBySite =
@@ -501,7 +504,9 @@ final class SearchEngine(
     }
   }
 
-  private lazy val bucketCount: Int = IndexBuild.Config().buckets
+  // the index's OWN bucket layout (persisted in stats) — partition
+  // pruning with any other count silently prunes to the wrong dirs
+  private def bucketCount: Int = state.buckets
 
   /** Presentation for a driver-resident ranked list: slice + items. */
   private def present(ranked: Seq[RankedHit], queryLemmas: Seq[String],

@@ -46,6 +46,14 @@ trait TableStore {
     * (Iceberg: a single REPLACE TABLE AS SELECT commit.) */
   def replace(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
 
+  /** Overwrite ONLY the partitions present in `df`, leaving every other
+    * partition's files untouched (Iceberg: df.writeTo(t)
+    * .overwritePartitions() — an atomic commit there; the parquet
+    * implementation is Spark dynamic partition overwrite, whose crash
+    * recovery is re-running the idempotent caller). */
+  def overwritePartitions(df: DataFrame, table: String,
+      partitionBy: Seq[String]): Unit
+
   /** Physical size of a table — lineage metrics (posting_bytes). */
   def sizeInBytes(table: String): Long
 
@@ -116,6 +124,19 @@ final class ParquetStore(val spark: SparkSession, val root: String)
     // drop any cached plans/file listings for the location — readers
     // re-list on next access
     spark.catalog.refreshByPath(path)
+  }
+
+  override def overwritePartitions(df: DataFrame, table: String,
+      partitionBy: Seq[String]): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try write(df, table, SaveMode.Overwrite, partitionBy)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.catalog.refreshByPath(pathOf(table))
   }
 
   override def sizeInBytes(table: String): Long =

@@ -135,6 +135,83 @@ class RefreshSpec extends AnyFunSuite {
     assert(!paged.data.exists(i => i.site + i.uri == victimUrl))
   }
 
+  test("one-page refresh rewrites ONLY touched bucket partitions; untouched files stay byte-identical") {
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft-refresh-pruned").toString
+    // many buckets relative to a doc's term count, as a production layout
+    // would size them — so most partitions are provably untouched
+    val cfgP = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, nBatches = 1, buckets = 256)
+    val pages = CorpusGen.generate(spark, CorpusGen.Config(2, 60)).collect().toSeq
+    import spark.implicits._
+    spark.createDataset(pages).write.mode("overwrite").parquet(s"$work/pages")
+    val ds = spark.read.parquet(s"$work/pages")
+      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    IndexBuild.run(spark, ds, s"$work/idx", cfgP)
+    IndexBuild.mergeSegments(spark, s"$work/idx")
+
+    def indexFiles(): Map[String, Seq[Byte]] = {
+      val root = new java.io.File(s"$work/idx/index")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+        .toMap
+    }
+    val before = indexFiles()
+
+    import org.apache.spark.sql.functions.{col, explode}
+    // pick a target that actually lemmatized to terms — some generated
+    // pages are legitimately term-less (non-Cyrillic/junk content)
+    val targetUrl = spark.read.parquet(s"$work/idx/docs")
+      .filter(col("dl") > 0).orderBy("url")
+      .select("url").as[String].head()
+    val oldTerms = spark.read.parquet(s"$work/idx/doc_terms")
+      .filter(col("doc_id") === IndexBuild.stableDocId(targetUrl))
+      .select(explode(col("terms"))).as[String].collect().toSet
+    assert(oldTerms.nonEmpty)
+    val l = RuDict.contentLemmas
+    val newPage = page(targetUrl, html(s"${l(190)}", s"${l(190)} ${l(191)} ${l(192)}"))
+    Refresh.refreshPages(spark, s"$work/idx", spark.createDataset(Seq(newPage)), cfgP)
+
+    val newTerms = graft.core.Lemmatizer.lemmaCountsFromHtml(newPage.html).keySet
+    val touchedBuckets = (oldTerms ++ newTerms).map(IndexBuild.termBucket(_, cfgP.buckets))
+    val untouched = (0 until cfgP.buckets).toSet -- touchedBuckets
+    assert(untouched.size >= 20, s"fixture must leave many buckets untouched: ${untouched.size}")
+
+    val after = indexFiles()
+    def bucketOfPath(p: String): Int =
+      "bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt
+    val beforeUntouched = before.filter { case (p, _) => untouched.contains(bucketOfPath(p)) }
+    val afterUntouched = after.filter { case (p, _) => untouched.contains(bucketOfPath(p)) }
+    assert(beforeUntouched.nonEmpty)
+    assert(afterUntouched.keySet == beforeUntouched.keySet,
+      "untouched bucket partitions must keep their exact file set")
+    beforeUntouched.foreach { case (p, bytes) =>
+      assert(afterUntouched(p) == bytes, s"untouched file rewritten: $p")
+    }
+    // and at least one touched bucket WAS rewritten
+    assert(before.keySet != after.keySet || before.exists { case (p, b) => after.get(p).exists(_ != b) },
+      "refresh must rewrite the touched partitions")
+
+    // correctness across the pruned path: engine matches the oracle over
+    // the modified corpus
+    val modified = pages.map(p => if (p.url == targetUrl) newPage else p)
+    spark.createDataset(modified).write.mode("overwrite").parquet(s"$work/pages2")
+    val oracle = new RefOracle.Corpus(modified.map { r =>
+      RefOracle.Doc(r.url, IndexBuild.siteOf(r.url), new String(r.html, StandardCharsets.UTF_8))
+    })
+    val engine = new SearchEngine(spark, s"$work/idx", s"$work/pages2", ReferenceTfSum)
+    for (q <- Seq(l(190), s"${l(0)} ${l(20)}", l(5))) {
+      val exp = RefOracle.search(oracle, q, None, ReferenceTfSum)
+      val got = engine.search(q, 0, 30, None)
+      assert(got.count == exp.count.toLong, s"count mismatch for '$q' after pruned refresh")
+      assert(got.data.map(i => i.site + i.uri) == exp.results.take(30).map(_.url),
+        s"ranking mismatch for '$q' after pruned refresh")
+    }
+    assert(engine.search(l(190), 0, 30, None).data.exists(i => i.site + i.uri == targetUrl))
+  }
+
   test("merge with a LARGE tombstone set stays rank-identical (distributed tombstone join)") {
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-refresh-big").toString
