@@ -433,17 +433,23 @@ object DocOps {
            |                        0D, (acc, x) -> acc + x) > 0
            |         then cast(pow(2, p) as int) else 0 end),
            |    0, (acc, x) -> acc + x))""".stripMargin))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         posexplode(col("band_sigs")).as(Seq("band", "sig")))
-    val lhs = sigs.select(col("band"), col("sig"),
-      col("vec_id").as("a"), col("v").as("va"))
-    val rhs = sigs.select(col("band"), col("sig"),
-      col("vec_id").as("b"), col("v").as("vb"))
-    lhs.join(rhs, Seq("band", "sig")).filter(col("a") < col("b"))
+    // candidate generation on IDS ONLY — the full vectors never ride the
+    // (band, sig) shuffle, and a pair colliding in several bands is
+    // deduplicated BEFORE the cosine, so each candidate pays exactly one
+    // exact-cosine evaluation and one vector fetch per side
+    val lhs = sigs.select(col("band"), col("sig"), col("vec_id").as("a"))
+    val rhs = sigs.select(col("band"), col("sig"), col("vec_id").as("b"))
+    val candidates = lhs.join(rhs, Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
       .select(col("a"), col("b"),
         round(graft.functions.VecExpressions.cosineSim(col("va"), col("vb")), 6)
           .as("cosine"))
-      .distinct() // a pair may collide in several bands
       .filter(col("cosine") >= threshold)
       .orderBy("a", "b")
   }

@@ -98,29 +98,89 @@ final class ParquetStore(val spark: SparkSession, val root: String)
   private def fs: FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  override def read(table: String): DataFrame =
-    spark.read.parquet(pathOf(table))
+  // ── monotonic table version (`_version` file inside the table dir —
+  // underscore-prefixed, so Spark's parquet FileIndex ignores it). The
+  // EXACT change-detection stamp: a replace that writes byte-identical
+  // length within one mtime granule still bumps it. Iceberg's snapshot
+  // id plays this role in production. ──
+  private def versionOf(path: String): Long = {
+    val vp = new Path(s"$path/_version")
+    try { val in = fs.open(vp); try in.readLong() finally in.close() }
+    catch { case _: java.io.IOException => 0L }
+  }
+  private def writeVersion(path: String, v: Long): Unit = {
+    val out = fs.create(new Path(s"$path/_version"), true)
+    try out.writeLong(v) finally out.close()
+  }
 
-  override def exists(table: String): Boolean =
+  /** Converge a table dir left mid-`replace` by a crash. The staged dir
+    * is COMPLETE iff its `_version` file exists (written strictly after
+    * the parquet write, strictly before any rename) — so:
+    * table missing + complete staged → promote staged;
+    * table missing + only `.__old` → restore the old version;
+    * table present → any leftover staged/old dirs are stale (next
+    * replace overwrites/deletes them). */
+  private def recover(path: String): Unit = {
+    val f = fs
+    val p = new Path(path)
+    val staged = new Path(s"$path.__new")
+    val old = new Path(s"$path.__old")
+    if (!f.exists(p)) {
+      if (f.exists(new Path(s"$path.__new/_version"))) {
+        f.rename(staged, p)
+        f.delete(old, true)
+      } else if (f.exists(old)) {
+        f.rename(old, p)
+        f.delete(staged, true)
+      }
+    }
+  }
+
+  override def read(table: String): DataFrame = {
+    recover(pathOf(table))
+    spark.read.parquet(pathOf(table))
+  }
+
+  override def exists(table: String): Boolean = {
+    recover(pathOf(table))
     fs.exists(new Path(pathOf(table)))
+  }
 
   override def write(df: DataFrame, table: String, mode: SaveMode,
       partitionBy: Seq[String] = Nil): Unit = {
+    val path = pathOf(table)
+    // Overwrite deletes the dir (and its `_version`) — carry the
+    // monotonic version across so fingerprints see every overwrite
+    val nextV = if (mode == SaveMode.Overwrite) versionOf(path) + 1 else -1L
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(pathOf(table))
+      .parquet(path)
+    if (nextV >= 0) writeVersion(path, nextV)
   }
 
+  /** Crash-safe overwrite: stage aside, then two atomic renames —
+    * table → `.__old`, staged → table. The table dir is ABSENT only
+    * between the renames, and `recover` (run at every read) converges
+    * either crash window: the staged dir's `_version` marks it complete
+    * (promote), otherwise `.__old` is restored. No window loses data —
+    * unlike delete-then-rename, where a crash between the two drops the
+    * table. (Iceberg: one REPLACE TABLE AS SELECT commit.) */
   override def replace(df: DataFrame, table: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val path = pathOf(table)
+    recover(path) // converge any previous crashed replace first
     val staged = s"$path.__new"
+    val oldAside = s"$path.__old"
+    val nextV = versionOf(path) + 1
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(staged)
+    writeVersion(staged, nextV) // completeness marker — written LAST
     val f = fs
-    f.delete(new Path(path), true)
+    f.delete(new Path(oldAside), true) // stale from an earlier crash
+    if (f.exists(new Path(path))) f.rename(new Path(path), new Path(oldAside))
     f.rename(new Path(staged), new Path(path))
+    f.delete(new Path(oldAside), true)
     // drop any cached plans/file listings for the location — readers
     // re-list on next access
     spark.catalog.refreshByPath(path)
@@ -131,6 +191,7 @@ final class ParquetStore(val spark: SparkSession, val root: String)
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
+    // dynamic overwrite keeps the table dir — write() bumps `_version`
     try write(df, table, SaveMode.Overwrite, partitionBy)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
@@ -146,8 +207,13 @@ final class ParquetStore(val spark: SparkSession, val root: String)
     val f = fs
     def stamp(table: String): Long =
       try {
-        val st = f.getFileStatus(new Path(pathOf(table)))
-        st.getModificationTime ^ (st.getLen * 0x9e3779b97f4a7c15L)
+        val path = pathOf(table)
+        val st = f.getFileStatus(new Path(path))
+        // `_version` makes the stamp exact (replace/overwrite always
+        // bumps it); mtime×len remains as defense for appends and
+        // tables predating the version file
+        versionOf(path) * 0xff51afd7ed558ccdL ^
+          st.getModificationTime ^ (st.getLen * 0x9e3779b97f4a7c15L)
       } catch { case _: java.io.IOException => 0L }
     tables.zipWithIndex.foldLeft(0L) { case (acc, (t, i)) =>
       acc ^ java.lang.Long.rotateLeft(stamp(t), i * 17)
