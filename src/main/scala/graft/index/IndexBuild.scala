@@ -589,10 +589,12 @@ object IndexBuild {
 
   def completedBatches(spark: SparkSession, outDir: String): Set[Int] = {
     import spark.implicits._
-    // first build: no lineage table yet — Spark surfaces the missing path
-    // as AnalysisException or (local fs) FileNotFoundException
-    try {
-      TableStore.open(spark, outDir).read("lineage")
+    val store = TableStore.open(spark, outDir)
+    // first build: no lineage table yet (checked, not caught — Spark logs
+    // the missing-path AnalysisException loudly even when handled)
+    if (!store.exists("lineage")) Set.empty
+    else try {
+      store.read("lineage")
         .filter(col("status") === "COMPLETE")
         .select("partition_id").as[Int].collect().toSet
     } catch { case scala.util.control.NonFatal(_) => Set.empty }

@@ -96,6 +96,8 @@ final class SearchEngine(
 
   private var state: IndexState = load()
   private var loadedFp: Long = fingerprint()
+  // (prefetchHot() is invoked at the end of the class body, after the
+  // caches it populates are initialized — constructor statement order)
 
   /** Re-check the index fingerprint; on change drop every driver-side
     * cache and reload. Cheap (3 filesystem stats, no Spark job). */
@@ -113,8 +115,33 @@ final class SearchEngine(
       dropRankedDf()
       state = load()
       loadedFp = fp
+      prefetchHot()
     }
   }
+
+  /** Cold-start prefetch (engine load / reload): pull the HEAD terms'
+    * segments into the posting LRU and their dfs into the df cache, in
+    * one job each. Head terms are the bounded skew set (df >
+    * saltThreshold — a few thousand terms even at 10^12 docs) and by
+    * construction the terms most likely in real queries; prefetching
+    * them also materializes the lemma_stats/segments block caches, so
+    * even a first-ever query pays only its own tail-term point lookups
+    * instead of the whole cache build. Disable: SPARK_GRAFT_NO_PREFETCH. */
+  private def prefetchHot(): Unit =
+    if (!sys.env.contains("SPARK_GRAFT_NO_PREFETCH") && headTerms.nonEmpty) {
+      val hs = headTerms.toSeq.sorted
+      globalDf(hs) // df warm: one aggregation job
+      val hotBuckets = hs.map(IndexBuild.termBucket(_, bucketCount)).distinct
+      val rows = segmentsDf
+        .filter(col("bucket").isin(hotBuckets: _*) && col("term").isin(hs: _*))
+        .select("term", "shard", "postings")
+        .as[(String, Int, Array[Byte])].collect().toSeq
+      rows.groupBy(_._1).foreach { case (t, rs) =>
+        postingCache.put(t, rs.map(r => (r._2, r._3)))
+      }
+      hs.filterNot(t => rows.exists(_._1 == t))
+        .foreach(t => postingCache.put(t, Seq.empty))
+    }
 
   def nDocs: Long = state.nDocs
   def avgdl: Double = state.avgdl
@@ -415,12 +442,19 @@ final class SearchEngine(
       .as[(String, Int, Int, Array[Byte])]
 
     val anySalted = ordered.exists(headTerms.contains)
-    // Cheap cardinality estimate from segment METADATA (doc_count column —
-    // no posting decode): moderate queries evaluate driver-locally in one
-    // fetch job; only genuinely large ones pay the shard-shuffle.
+    // Cheap cardinality estimate for the local-vs-distributed routing,
+    // from the dfs ALREADY in hand (global df == posting count per term)
+    // — zero extra jobs (this was previously a per-cold-query segment-
+    // metadata aggregation job). For a scoped query the salted terms'
+    // fetch is pruned to 1/siteGroups of the shards; the estimate scales
+    // accordingly (tail segments, shard = -1, are always fetched whole).
     val totalPostings: Long =
       if (!anySalted || missing.isEmpty) 0L // tail-only/cache-hit is local
-      else segs.select(sum(col("doc_count"))).as[Long].collect().headOption.getOrElse(0L)
+      else missing.map { t =>
+        val df = dfMap.getOrElse(t, 0L)
+        if (siteShards.isDefined && headTerms.contains(t))
+          df / math.max(1, state.siteGroups) else df
+      }.sum
     val localEvalLimit = 2000000L
     val s = shards
     val termsArr = ordered.toArray
@@ -451,10 +485,11 @@ final class SearchEngine(
     if (totalPostings <= localEvalLimit) {
       // Local path (tail-only, moderate salted, or full cache hit):
       // fetch missing segments in at most ONE job, cache them, and
-      // evaluate doc-shard groups on the driver. A repeated query runs
-      // zero Spark jobs. A SCOPED fetch is shard-pruned and therefore
-      // partial — it must not populate the full-segment-set cache.
-      val fetched = segs.collect().toSeq
+      // evaluate doc-shard groups on the driver. A repeated (or fully
+      // prefetched) query runs ZERO Spark jobs. A SCOPED fetch is
+      // shard-pruned and therefore partial — it must not populate the
+      // full-segment-set cache.
+      val fetched = if (missing.isEmpty) Seq.empty else segs.collect().toSeq
       if (siteShards.isEmpty) {
         fetched.groupBy(_._1).foreach { case (t, rs) =>
           postingCache.put(t, rs.map(r => (r._2, r._4)))
@@ -542,6 +577,10 @@ final class SearchEngine(
         relevance = h.relevance)
     }
   }
+
+  // constructor tail: initial hot-set prefetch (reloads go through
+  // ensureFresh, which calls it after swapping state)
+  prefetchHot()
 }
 
 /** Statistics endpoint rebuild (A7/A8; StatisticsServiceImpl.java:27-79):
