@@ -264,4 +264,56 @@ class EngineSpec extends AnyFunSuite {
     Statistics.compute(spark, s"$work/idx").collect()
       .foreach(r => assert(r.getAs[String]("status") == "INDEXED"))
   }
+
+  test("prefetch: first-ever head-term query on a fresh engine runs ZERO Spark jobs") {
+    built
+    val heads = spark.read.parquet(s"$indexDir/head_terms")
+      .collect().map(_.getString(0))
+    // survive the 80% stop-lemma prune so the conjunction actually runs,
+    // and lemmatize to themselves (a head term whose SURFACE form maps to
+    // a different lemma would be a legitimate cache miss, not a prefetch
+    // failure)
+    val usable = heads
+      .filter(t => oracle.dfGlobal(t) * 100.0 / oracle.nDocs <= 80.0)
+      .filter(t => Lemmatizer.lemmaCounts(t).keySet == Set(t))
+      .sorted.take(2)
+    assert(usable.length == 2, "fixture must salt >=2 unpruned head terms")
+    // constructing the engine runs the prefetch jobs; count jobs only after
+    val engine = new SearchEngine(spark, indexDir, pagesPath, Bm25())
+    // count jobs attributed to the query region via the job-group id: the
+    // submitting thread's locals are captured across Spark's async
+    // AQE/broadcast submission (SQLExecution.withThreadLocalCaptured), so
+    // any job the query launches — directly or via AQE — carries the group
+    val queryJobs = new java.util.concurrent.atomic.AtomicInteger
+    val markerJobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        js.properties.getProperty("spark.jobGroup.id") match {
+          case "prefetch-test-query" => queryJobs.incrementAndGet(); ()
+          case "prefetch-test-marker" => markerJobs.incrementAndGet(); ()
+          case _ => ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("prefetch-test-query", "query under test")
+      val hits = engine.topK(usable.mkString(" "), 10)
+      assert(hits.nonEmpty)
+      spark.sparkContext.setJobGroup("prefetch-test-marker", "bus drain")
+      // the listener bus is async but FIFO: once the marker's JobStart is
+      // delivered, any earlier query job would already be counted
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 10000000000L
+      while (markerJobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(markerJobs.get() > 0, "marker job not observed — listener broken")
+      assert(queryJobs.get() == 0,
+        s"head-term query must be fully served by the prefetched caches (saw ${queryJobs.get()} jobs)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+      ()
+    }
+  }
 }
