@@ -120,26 +120,45 @@ final class SearchEngine(
   }
 
   /** Cold-start prefetch (engine load / reload): pull the HEAD terms'
-    * segments into the posting LRU and their dfs into the df cache, in
-    * one job each. Head terms are the bounded skew set (df >
-    * saltThreshold — a few thousand terms even at 10^12 docs) and by
-    * construction the terms most likely in real queries; prefetching
-    * them also materializes the lemma_stats/segments block caches, so
-    * even a first-ever query pays only its own tail-term point lookups
-    * instead of the whole cache build. Disable: SPARK_GRAFT_NO_PREFETCH. */
+    * segments into the posting LRU and their dfs into the df cache.
+    * Head terms are the bounded skew set (df > saltThreshold — a few
+    * thousand terms even at 10^12 docs) and by construction the terms
+    * most likely in real queries; prefetching them also materializes the
+    * lemma_stats/segments block caches, so even a first-ever query pays
+    * only its own tail-term point lookups instead of the whole cache
+    * build. The segment fetch is SIZE-GATED: a metadata aggregation
+    * (sum of encoded bytes per term — no posting decode) picks the
+    * largest prefix of terms that fits the cache budget, so the driver
+    * never collects more than it can cache — at full scale a single
+    * mega-term's segments can exceed the whole budget and must stay on
+    * the distributed path. Three load-time jobs total. Disable:
+    * SPARK_GRAFT_NO_PREFETCH. */
   private def prefetchHot(): Unit =
     if (!sys.env.contains("SPARK_GRAFT_NO_PREFETCH") && headTerms.nonEmpty) {
       val hs = headTerms.toSeq.sorted
       globalDf(hs) // df warm: one aggregation job
       val hotBuckets = hs.map(IndexBuild.termBucket(_, bucketCount)).distinct
-      val rows = segmentsDf
+      val hotSegs = segmentsDf
         .filter(col("bucket").isin(hotBuckets: _*) && col("term").isin(hs: _*))
-        .select("term", "shard", "postings")
-        .as[(String, Int, Array[Byte])].collect().toSeq
-      rows.groupBy(_._1).foreach { case (t, rs) =>
-        postingCache.put(t, rs.map(r => (r._2, r._3)))
+      val sizes = hotSegs
+        .groupBy("term").agg(sum(length(col("postings"))).as("bytes"))
+        .as[(String, Long)].collect().sortBy(_._2)
+      var budget = postingCache.budget
+      val chosen = sizes.takeWhile { case (_, b) =>
+        budget -= b; budget >= 0
+      }.map(_._1)
+      if (chosen.nonEmpty) {
+        val rows = hotSegs
+          .filter(col("term").isin(chosen: _*))
+          .select("term", "shard", "postings")
+          .as[(String, Int, Array[Byte])].collect().toSeq
+        rows.groupBy(_._1).foreach { case (t, rs) =>
+          postingCache.put(t, rs.map(r => (r._2, r._3)))
+        }
       }
-      hs.filterNot(t => rows.exists(_._1 == t))
+      // heads with NO segment rows (all postings deleted) cache as empty
+      val present = sizes.map(_._1).toSet
+      hs.filterNot(present.contains)
         .foreach(t => postingCache.put(t, Seq.empty))
     }
 
@@ -176,6 +195,10 @@ final class SearchEngine(
     private var totalBytes = 0L
     private def bytesOf(v: Seq[(Int, Array[Byte])]): Long =
       v.map(_._2.length.toLong + 32L).sum + 64L
+
+    /** Load-time prefetch budget: half the cache, leaving headroom for
+      * query-driven residency (tail terms fetched by live traffic). */
+    def budget: Long = limit / 2
 
     def contains(t: String): Boolean = map.containsKey(t)
     /** null when absent (and counts as an access when present). */
