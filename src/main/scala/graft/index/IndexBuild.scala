@@ -326,6 +326,17 @@ object IndexBuild {
     // sorter. With ≤ `buckets` open files per task, concurrent writers skip
     // that sort entirely.
     spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", cfg.buckets + 4)
+    // File-committer algorithm v2: tasks move their files into the
+    // destination at TASK commit (parallel, overlapped with other tasks)
+    // instead of the driver serially renaming every task dir at JOB commit
+    // — with 32 reduce tasks × up to `buckets` bucket files that driver
+    // loop is a measurable serial tail. v2's caveat (a job failing
+    // mid-commit leaves partial files visible) is void here: visibility is
+    // governed by the LINEAGE commit row written after the data (batch
+    // retried from scratch on failure), `replace` stages behind a
+    // completeness marker, and the tiny appends are single-task.
+    spark.sparkContext.hadoopConfiguration
+      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
     // Shuffle width = the session's declared shuffle partitioning, NOT the
     // executor count: on a real cluster the partition count stays constant
     // while the cluster scales N→4N (only concurrency changes), and a
@@ -483,7 +494,11 @@ object IndexBuild {
     // batch key = site hash (see the loop below)
     def siteBatch = pmod(xxhash64(col("site")), lit(cfg.nBatches)).cast("int")
     val done: Set[Int] = completedBatches(spark, outDir)
+    // persisted: the INDEXING append materializes it once; the INDEXED
+    // append (and multi-batch slices) reuse it instead of re-scanning the
+    // analyze cache — a measurable serial tail at high parallelism
     val allSites = analyzed.select("site").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // INDEXING stamp only for sites whose batch is still PENDING — a
     // resumed run must not regress the status of already-committed sites
     appendStatus(
@@ -576,14 +591,19 @@ object IndexBuild {
           throw e
       }
     }
+    // single-batch: the direct-to-index write IS the merged index, as of
+    // batch 0 — written in the background, joined before return (the
+    // engine fingerprints index_meta, so it must be durable by then)
+    val indexMetaF =
+      if (singleBatch && built > 0)
+        Some(Future(store.write(spark.range(1).select(lit(0).as("as_of_batch")),
+          "index_meta", SaveMode.Overwrite)))
+      else None
     awaitDims() // loop may have run zero batches (resume/stop) — still join
     statusFutures.foreach(Await.result(_, Duration.Inf))
+    indexMetaF.foreach(Await.result(_, Duration.Inf))
+    allSites.unpersist()
     analyzed.unpersist()
-    if (singleBatch && built > 0) {
-      // the direct-to-index write IS the merged index, as of batch 0
-      store.write(spark.range(1).select(lit(0).as("as_of_batch")),
-        "index_meta", SaveMode.Overwrite)
-    }
     built
   }
 
