@@ -479,9 +479,16 @@ object IndexBuild {
     // site when its batch's lineage commits, and FAILED rows (with the
     // error) if a batch throws. Statistics reads the latest row per site.
     // All writes are appends of tiny site lists — background futures. ──
+    // appends to the SAME table directory share the Hadoop committer's
+    // `_temporary/0` staging dir — two append jobs running concurrently
+    // delete each other's attempt dirs at job cleanup ("Mkdirs failed to
+    // create …/_temporary/…"). Status appends therefore run on ONE
+    // background CHAIN: overlapped with the build, serialized among
+    // themselves (which also keeps INDEXING→INDEXED row order).
     var statusFutures = List.empty[Future[Unit]]
+    var statusChain: Future[Unit] = Future.successful(())
     def appendStatus(sites: DataFrame, status: String, error: String): Future[Unit] = {
-      val f = Future {
+      val f = statusChain.map { _ =>
         store.write(
           sites.select(col("site"), lit(status).as("status"),
             lit(error).cast("string").as("error"),
@@ -489,6 +496,9 @@ object IndexBuild {
           "site_status", SaveMode.Append)
       }
       statusFutures ::= f
+      // a failed append must not wedge later chain links (its own failure
+      // still surfaces through statusFutures at the join below)
+      statusChain = f.recover { case scala.util.control.NonFatal(_) => () }
       f
     }
     // batch key = site hash (see the loop below)

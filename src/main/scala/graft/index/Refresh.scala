@@ -115,14 +115,22 @@ object Refresh {
           .union(newDocTerms), "doc_terms")
     }
 
-    // lineage commit row for the delta
-    val nNew = analyzed.count()
+    // lineage commit row for the delta — REAL metrics (north_star: per-
+    // partition lineage carries posting bytes + term count): bytes from
+    // the store, term/posting counts from one small agg over the cached
+    // analyze output (term_count = distinct terms in the delta,
+    // posting_count = Σ per-doc distinct terms = delta posting rows)
+    val deltaAgg = analyzed
+      .select(explode(map_keys(col("terms"))).as("term"))
+      .agg(countDistinct(col("term")).as("term_count"),
+        count(lit(1)).as("posting_count"))
+      .collect()(0)
     store.write(spark.range(1).select(
       lit(batch).as("partition_id"),
       lit(s"refresh batch $batch").as("doc_range"),
-      lit(0L).as("posting_bytes"),
-      lit(0L).as("term_count"),
-      lit(nNew).as("posting_count"),
+      lit(store.sizeInBytes(s"segments/batch=$batch")).as("posting_bytes"),
+      lit(deltaAgg.getAs[Long]("term_count")).as("term_count"),
+      lit(deltaAgg.getAs[Long]("posting_count")).as("posting_count"),
       lit("COMPLETE").as("status"),
       lit(null).cast("string").as("error"),
       current_timestamp().as("ts")),
@@ -158,6 +166,21 @@ object Refresh {
     store.write(
       urls.map(u => (IndexBuild.stableDocId(u), batch)).toDF("doc_id", "as_of_batch"),
       "tombstones", SaveMode.Append)
+    // lineage commit row for the delete: keeps the high-water batch
+    // accounting symmetric with refreshPages (nextBatch derives from
+    // max(lineage, index_meta) — a delete without a lineage row would
+    // leave index_meta one below its tombstone batch) and records the
+    // touched-term metric for the audit trail
+    store.write(spark.range(1).select(
+      lit(batch).as("partition_id"),
+      lit(s"delete batch $batch (${urls.size} urls)").as("doc_range"),
+      lit(0L).as("posting_bytes"),
+      lit(touched.count()).as("term_count"),
+      lit(0L).as("posting_count"),
+      lit("COMPLETE").as("status"),
+      lit(null).cast("string").as("error"),
+      current_timestamp().as("ts")),
+      "lineage", SaveMode.Append)
     store.replace(
       store.read("docs").join(idsDf, Seq("doc_id"), "left_anti"), "docs")
     if (hadForward)

@@ -149,13 +149,39 @@ final class ParquetStore(val spark: SparkSession, val root: String)
   override def write(df: DataFrame, table: String, mode: SaveMode,
       partitionBy: Seq[String] = Nil): Unit = {
     val path = pathOf(table)
-    // Overwrite deletes the dir (and its `_version`) — carry the
-    // monotonic version across so fingerprints see every overwrite
-    val nextV = if (mode == SaveMode.Overwrite) versionOf(path) + 1 else -1L
-    val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(path)
-    if (nextV >= 0) writeVersion(path, nextV)
+    if (mode == SaveMode.Append && partitionBy.isEmpty) {
+      // Append via STAGING: concurrent append jobs into one directory
+      // share the Hadoop committer's `_temporary/0` dir and delete each
+      // other's attempt dirs at cleanup — so each append writes to a
+      // unique sibling dir, then moves its (uniquely renamed) data files
+      // in. Concurrent appends (e.g. indexPage during a running build —
+      // the reference allows it) compose safely; a crash mid-append
+      // leaves at worst a partial file set of ONE append, equivalent to
+      // the torn append plain parquet gives. (Iceberg: append() is a
+      // single atomic snapshot commit.)
+      val stamp = java.util.UUID.randomUUID().toString.take(12)
+      val staged = s"$path.__append-$stamp"
+      df.write.mode(SaveMode.Overwrite).parquet(staged)
+      val f = fs
+      f.mkdirs(new Path(path))
+      f.listStatus(new Path(staged)).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          f.rename(st.getPath, new Path(s"$path/app-$stamp-$n"))
+          ()
+        }
+      }
+      f.delete(new Path(staged), true)
+      ()
+    } else {
+      // Overwrite deletes the dir (and its `_version`) — carry the
+      // monotonic version across so fingerprints see every overwrite
+      val nextV = if (mode == SaveMode.Overwrite) versionOf(path) + 1 else -1L
+      val w = df.write.mode(mode)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(path)
+      if (nextV >= 0) writeVersion(path, nextV)
+    }
   }
 
   /** Crash-safe overwrite: stage aside, then two atomic renames —

@@ -85,6 +85,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(fs.exists(new Path(s"$root/t")))
   }
 
+  test("append: concurrent appends to one table do not clobber each other (staged appends)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val (store, _) = freshStore()
+    // Hadoop FileOutputCommitter shares `_temporary/0` per output dir:
+    // two concurrent plain appends can delete each other's attempt dirs
+    // (observed as "Mkdirs failed to create …/_temporary/…"). The staged
+    // append must make N concurrent appends land all N row sets.
+    val n = 6
+    val fs = (0 until n).map(i => Future {
+      store.write(oneRow(i.toLong), "t", org.apache.spark.sql.SaveMode.Append)
+    })
+    fs.foreach(Await.result(_, Duration.Inf))
+    val got = store.read("t").as[Long].collect().sorted.toSeq
+    assert(got == (0L until n.toLong), s"expected all $n appended rows, got $got")
+  }
+
   test("fingerprint detects a same-length replace (monotonic _version, not mtime heuristics)") {
     val (store, _) = freshStore()
     store.write(oneRow(1L), "t", org.apache.spark.sql.SaveMode.Overwrite)
