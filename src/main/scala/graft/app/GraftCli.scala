@@ -15,6 +15,7 @@ import graft.queryengine.{SearchEngine, Statistics}
   *   search <indexDir> <pagesDir> <tfsum|bm25> <query> [offset] [limit] [siteUrl]
   *   stats  <indexDir>                                — per-site statistics
   *   indexpage <pagesDir> <indexDir> <url>            — /api/indexPage with error shapes
+  *   stream <pagesDir> <indexDir> [once]              — continuous page-feed ingest
   *   stop   <indexDir>                                — graceful stop of a running build
   *
   * In-sandbox this runs on local[*]; on a cluster the same mains run
@@ -114,6 +115,25 @@ object GraftCli {
         val resp = api.indexPage(url)
         println(s"result=${resp.result}${resp.error.fold("")(e => s" error='$e'")}")
 
+      case "stream" :: pagesDir :: indexDir :: rest =>
+        // continuous ingest: watch pagesDir for new parquet files and fold
+        // each micro-batch into the index (bootstrap build on first batch,
+        // refresh deltas after). `once` drains available files and exits
+        // (scriptable); default runs until terminated.
+        val once = rest == List("once")
+        if (!once && rest.nonEmpty) sys.error("usage: stream <pagesDir> <indexDir> [once]")
+        val q = graft.streaming.IndexStream.run(spark, pagesDir, indexDir,
+          // drain mode triggers back-to-back; the long-running service
+          // polls the feed dir at a sane interval instead of busy-looping
+          trigger = if (once) org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+            else org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
+        if (once) {
+          q.processAllAvailable(); q.stop()
+          val n = graft.store.TableStore.open(spark, indexDir)
+            .read("stats").collect()(0).getAs[Long]("n_docs")
+          println(s"ingested available feed files ($n docs indexed)")
+        } else q.awaitTermination()
+
       case "stop" :: indexDir :: Nil =>
         // cross-process graceful stop: set the marker the batch loop polls
         graft.store.TableStore.open(spark, indexDir)
@@ -133,6 +153,7 @@ object GraftCli {
              |  search <indexDir> <pagesDir> <tfsum|bm25> <query> [offset limit [siteUrl]]
              |  stats <indexDir>
              |  indexpage <pagesDir> <indexDir> <url>
+             |  stream <pagesDir> <indexDir> [once]
              |  stop <indexDir>""".stripMargin)
         sys.exit(2)
     }

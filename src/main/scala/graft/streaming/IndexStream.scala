@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.corpus.PageRow
+import graft.index.{IndexBuild, Refresh}
+import graft.store.TableStore
+
+/** Continuous index ingest — the Structured Streaming form of the batch
+  * build for a continuously-arriving Common-Crawl-style page feed (the
+  * north_star's production shape; the reference's closest analogue is the
+  * crawler thread pool that keeps adding pages while the index serves,
+  * ThreadIndexingManager.java:29-62).
+  *
+  * Design: `readPages` watches a directory (the Iceberg-table stand-in;
+  * production would be a stream off the table's commit log) and each
+  * micro-batch lands through `foreachBatch` on the SAME commit protocol
+  * as interactive refresh — delta segment batch → tombstones → lineage
+  * row → bucket-pruned compaction — so a page re-crawled in a later file
+  * replaces its old version exactly like `/api/indexPage`, and a live
+  * [[graft.queryengine.SearchEngine]] picks each commit up via its index
+  * fingerprint without restarting.
+  *
+  * Delivery semantics: the file source + checkpoint give at-least-once
+  * micro-batches; a replayed batch re-appends a delta+tombstone pair for
+  * the same urls, and latest-batch-wins merge converges to the same index
+  * (idempotent by CONVERGENCE, the standard foreachBatch contract —
+  * Iceberg in production makes each micro-batch one atomic commit).
+  *
+  * The first-ever micro-batch on an empty index dir bootstraps through
+  * the full build (single batch), so the stream can be pointed at an
+  * empty directory and owns the index end-to-end.
+  */
+object IndexStream {
+
+  /** input_hint schema (BASELINE.json): the streaming source must declare
+    * it up front (no inference on streams). */
+  val pagesSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** File-source stream over a pages directory. `maxFilesPerTrigger`
+    * bounds micro-batch size (ingest pacing at scale). */
+  def readPages(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(pagesSchema)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else r).parquet(dir)
+  }
+
+  /** One micro-batch into the index: bootstrap build if the index dir is
+    * empty, refresh-with-tombstones otherwise. Exposed for tests. */
+  def ingestBatch(spark: SparkSession, indexDir: String,
+      batch: Dataset[PageRow], cfg: IndexBuild.Config): Unit = {
+    if (batch.isEmpty) return // empty trigger — nothing to commit
+    if (!TableStore.open(spark, indexDir).exists("docs")) {
+      IndexBuild.run(spark, batch, indexDir, cfg.copy(nBatches = 1))
+      IndexBuild.mergeSegments(spark, indexDir)
+    } else Refresh.refreshPages(spark, indexDir, batch, cfg)
+  }
+
+  /** Start the ingest stream. The checkpoint lives INSIDE the index dir
+    * (underscore-prefixed — invisible to the store's parquet readers), so
+    * index and stream progress restart together. */
+  def run(spark: SparkSession, pagesDir: String, indexDir: String,
+      cfg: IndexBuild.Config = IndexBuild.Config(),
+      maxFilesPerTrigger: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    import org.apache.spark.sql.Encoders
+    val pages = readPages(spark, pagesDir, maxFilesPerTrigger)
+    pages.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", s"$indexDir/_stream_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(spark, indexDir,
+          batch.select(col("url"), col("warc_ts"), col("html"),
+            col("text"), col("lang")).as[PageRow](Encoders.product[PageRow]),
+          cfg)
+      }
+      .start()
+  }
+}
