@@ -220,16 +220,20 @@ object Bench {
     /** Each timed build runs in a FRESH subprocess JVM (see BenchBuild):
       * in-process repetition measurably degrades later sessions (GC/heap
       * accumulation — observed up to 2x on identical work). */
-    def buildAt(threads: Int, outDir: String): Measure = {
+    def buildAt(threads: Int, outDir: String,
+        pagesPath: String = s"$work/pages",
+        nDocs: Long = corpusCfg.nDocs,
+        warmup: Boolean = true): Measure = {
       val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.toArray.map(_.toString)
         .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
           a.startsWith("-Xmx") || a.startsWith("-D"))
       val cmd = pinPrefix(threads) ++ Seq("java") ++ jvm ++ Seq(
         "-cp", System.getProperty("java.class.path"),
-        "graft.BenchBuild", threads.toString, s"$work/pages", outDir,
-        corpusCfg.nDocs.toString, idxCfg.saltThresholdDf.toString)
+        "graft.BenchBuild", threads.toString, pagesPath, outDir,
+        nDocs.toString, idxCfg.saltThresholdDf.toString)
       val pb = new ProcessBuilder(cmd: _*)
+      if (!warmup) pb.environment().put("SPARK_GRAFT_WARMUP", "none")
       pb.redirectErrorStream(true)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
@@ -261,6 +265,60 @@ object Bench {
       // fresh-JVM hi–lo–hi triples until `nTrials` UNDRIFTED trials exist
       // (or the hard cap); every trial, drifted or not, is recorded.
       val maxTrials = sys.env.getOrElse("SPARK_GRAFT_MAX_TRIALS", "12").toInt
+      // ── clean-window GATE: decide WHEN to measure, never what to
+      // report. The host's throttle/contention windows last tens of
+      // minutes; a full hi–lo–hi trial started inside one burns ~25 min
+      // of builds that the drift/contention flags then (correctly)
+      // discard. Before each trial a CHEAP pinned probe build (~30 s
+      // clean; no JIT warm-up — probes are only compared to each other)
+      // samples the host: visible steal, or a rate far below the best
+      // probe seen this run, means "inside a window" → sleep and
+      // re-probe within a bounded wait budget, then measure. If the
+      // budget runs out the trial proceeds anyway and the honesty flags
+      // judge it — the gate only spends sleep instead of builds. ──
+      val probeDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "30000").toInt
+      val gateWaitStepS = sys.env.getOrElse("SPARK_GRAFT_GATE_STEP_S", "90").toInt
+      var gateWaitBudgetS = sys.env.getOrElse("SPARK_GRAFT_GATE_WAIT_S", "1800").toInt
+      // Optional ABSOLUTE floor (docs/s) below which a probe means
+      // "window" even when it is the best seen — the relative anchor is
+      // blind when the RUN STARTS inside a long window (the first probe
+      // anchors itself; co-tenant bandwidth contention shows no steal).
+      // Off by default (0): an absolute rate is host-specific, so it is
+      // supplied per host (measured clean probes on this box: ~3–5k
+      // docs/s; contended: ~0.7k).
+      val probeFloor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "0").toDouble
+      val probeCfg = CorpusGen.Config(nSites = 2, pagesPerSite = probeDocs / 2, avgWords = 400)
+      if (probeDocs > 0) {
+        val ps = newSession(cpus)
+        try {
+          if (!Files.exists(Paths.get(s"$work/probe_pages")))
+            CorpusGen.generate(ps, probeCfg).write.parquet(s"$work/probe_pages")
+        } finally ps.stop()
+      }
+      var bestProbe = 0.0
+      var probeN = 0
+      def cleanWindowGate(): Unit = if (probeDocs > 0) {
+        var go = false
+        while (!go) {
+          probeN += 1
+          val m = buildAt(pHigh, s"$work/probe$probeN",
+            s"$work/probe_pages", probeCfg.nDocs, warmup = false)
+          import scala.sys.process._
+          Seq("rm", "-rf", s"$work/probe$probeN").! : Unit
+          if (m.tput > bestProbe) bestProbe = m.tput
+          val contended = m.tput <= 0.0 ||
+            m.stealFrac > 0.10 || m.tput < 0.7 * bestProbe ||
+            m.tput < probeFloor
+          System.err.println(f"[bench] probe $probeN: ${m.tput}%.0f docs/s " +
+            f"(best ${bestProbe}%.0f), steal ${m.stealFrac * 100}%.1f%%" +
+            (if (contended) " [window: waiting]" else " [clean]"))
+          if (!contended || gateWaitBudgetS <= 0) go = true
+          else {
+            Thread.sleep(gateWaitStepS * 1000L)
+            gateWaitBudgetS -= gateWaitStepS
+          }
+        }
+      }
       // stable-so-far: undrifted AND not contention-flagged, evaluated
       // with EXACTLY the same predicate the final report uses
       // (contendedIn below) against the growing anchor — a trial accepted
@@ -272,6 +330,7 @@ object Bench {
       var t = 0
       while (t < maxTrials && stableSoFar < nTrials) {
         t += 1
+        cleanWindowGate()
         val ceilPre = cpuCeiling(pHigh)
         val hi1 = buildAt(pHigh, s"$work/t${t}_hi1")
         val lo = buildAt(pLow, s"$work/t${t}_lo")
@@ -409,7 +468,12 @@ object Bench {
          |correction re-bases), any build lost >25% CPU to steal, or raw
          |efficiency is impossible (>1.02); medians over all trials AND over
          |stable trials are both reported, with every trial embedded in
-         |BENCH JSON.
+         |BENCH JSON. Trials are SAMPLED INTO CLEAN WINDOWS: before each
+         |trial a cheap pinned probe build (~30 s) checks for visible
+         |steal or a rate <70% of the best probe seen; inside a window
+         |the bench sleeps (bounded budget) instead of burning a ~25-min
+         |trial that the flags would discard — the gate decides when to
+         |measure, never what to report.
          |
          || trial | ceiling pre/post | docs/s @local[$pLow] | docs/s @local[$pHigh] (pre/post) | max steal | eff raw | eff corr | eff vs ceiling | drifted |
          ||---|---|---|---|---|---|---|---|---|

@@ -56,14 +56,28 @@ object IndexStream {
   }
 
   /** One micro-batch into the index: bootstrap build if the index dir is
-    * empty, refresh-with-tombstones otherwise. Exposed for tests. */
+    * empty, refresh-with-tombstones otherwise. Exposed for tests.
+    *
+    * A url appearing in SEVERAL feed files of one trigger (rapid
+    * re-crawl) is deduped to its latest `warc_ts` version here — both
+    * copies would otherwise land in one delta batch, where
+    * latest-batch-wins cannot order them. */
   def ingestBatch(spark: SparkSession, indexDir: String,
       batch: Dataset[PageRow], cfg: IndexBuild.Config): Unit = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.expressions.Window
     if (batch.isEmpty) return // empty trigger — nothing to commit
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("warc_ts").desc, org.apache.spark.sql.functions.length(col("html")).desc)
+    val latest = batch.toDF
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .as[PageRow](Encoders.product[PageRow])
     if (!TableStore.open(spark, indexDir).exists("docs")) {
-      IndexBuild.run(spark, batch, indexDir, cfg.copy(nBatches = 1))
+      IndexBuild.run(spark, latest, indexDir, cfg.copy(nBatches = 1))
       IndexBuild.mergeSegments(spark, indexDir)
-    } else Refresh.refreshPages(spark, indexDir, batch, cfg)
+    } else Refresh.refreshPages(spark, indexDir, latest, cfg)
   }
 
   /** Start the ingest stream. The checkpoint lives INSIDE the index dir

@@ -31,8 +31,8 @@ class IndexStreamSpec extends AnyFunSuite {
     s"<html><head><title>$title</title></head><body><p>$body</p></body></html>"
       .getBytes(StandardCharsets.UTF_8)
 
-  private def page(url: String, h: Array[Byte]): PageRow =
-    PageRow(url, new java.sql.Timestamp(CorpusGen.Epoch), h,
+  private def page(url: String, h: Array[Byte], tsOffset: Long = 0L): PageRow =
+    PageRow(url, new java.sql.Timestamp(CorpusGen.Epoch + tsOffset), h,
       HtmlText.cleanToText(new String(h, StandardCharsets.UTF_8)), "ru")
 
   test("page feed: bootstrap build, incremental re-crawl refresh, live-engine visibility") {
@@ -67,17 +67,30 @@ class IndexStreamSpec extends AnyFunSuite {
       assert(engine.search(markerOld, 0, 30, None).data
         .exists(i => i.site + i.uri == crawlUrl), "v1 content must be searchable")
 
-      // file 2: the same url RE-CRAWLED (v2: markerNew only) + a new page
+      // file 2: the same url RE-CRAWLED (v2: markerNew only), a new page,
+      // and a url crawled TWICE within the same micro-batch (two
+      // warc_ts versions — ingest must keep only the later one)
       val v2 = page(crawlUrl, html("вторая версия",
         s"$markerNew ${RuDict.formsOf(markerNew)(2)} ${l(3)}"))
       val fresh = page("https://site1.test/p/fresh", html("новая",
         s"${l(4)} ${l(5)} ${l(4)}"))
-      spark.createDataset(Seq(v2, fresh)).write.mode("append").parquet(feed)
+      val dupUrl = "https://site0.test/p/dup"
+      val markerDupOld = l(185)
+      val markerDupNew = l(187)
+      val dupA = page(dupUrl, html("дубль старый", s"$markerDupOld ${l(6)}"))
+      val dupB = page(dupUrl, html("дубль новый", s"$markerDupNew ${l(6)}"),
+        tsOffset = 60000L)
+      spark.createDataset(Seq(v2, fresh, dupA, dupB)).write.mode("append").parquet(feed)
       q.processAllAvailable()
 
       val nAfterDelta = store.read("stats").collect()(0).getAs[Long]("n_docs")
-      assert(nAfterDelta == base.size + 2L,
-        s"re-crawl must replace, new url must add (got $nAfterDelta)")
+      assert(nAfterDelta == base.size + 3L,
+        s"re-crawl must replace, new urls must add once (got $nAfterDelta)")
+      // in-batch dedup: only the later warc_ts version of dupUrl indexed
+      assert(engine.search(markerDupNew, 0, 30, None).data
+        .exists(i => i.site + i.uri == dupUrl), "later duplicate version must win")
+      assert(!engine.search(markerDupOld, 0, 30, None).data
+        .exists(i => i.site + i.uri == dupUrl), "earlier duplicate version must lose")
 
       // SAME engine instance: fingerprint reload must expose the delta
       assert(engine.search(markerNew, 0, 30, None).data
