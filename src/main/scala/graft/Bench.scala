@@ -279,14 +279,15 @@ object Bench {
       val probeDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "30000").toInt
       val gateWaitStepS = sys.env.getOrElse("SPARK_GRAFT_GATE_STEP_S", "90").toInt
       var gateWaitBudgetS = sys.env.getOrElse("SPARK_GRAFT_GATE_WAIT_S", "1800").toInt
-      // Optional ABSOLUTE floor (docs/s) below which a probe means
-      // "window" even when it is the best seen — the relative anchor is
-      // blind when the RUN STARTS inside a long window (the first probe
-      // anchors itself; co-tenant bandwidth contention shows no steal).
-      // Off by default (0): an absolute rate is host-specific, so it is
-      // supplied per host (measured clean probes on this box: ~3–5k
-      // docs/s; contended: ~0.7k).
-      val probeFloor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "0").toDouble
+      // ABSOLUTE floor (docs/s) below which a probe means "window" even
+      // when it is the best seen — the relative anchor is blind when the
+      // RUN STARTS inside a long window (the first probe anchors itself;
+      // co-tenant bandwidth contention shows no steal). The default 1200
+      // splits this host's observed bands (contended probes: 137–895;
+      // clean: ≥ ~2000) with margin on both sides; a mis-set floor costs
+      // at most the bounded sleep budget, never a wrong measurement.
+      // Override per host via SPARK_GRAFT_PROBE_FLOOR (0 disables).
+      val probeFloor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "1200").toDouble
       val probeCfg = CorpusGen.Config(nSites = 2, pagesPerSite = probeDocs / 2, avgWords = 400)
       if (probeDocs > 0) {
         val ps = newSession(cpus)
