@@ -12,10 +12,11 @@ import graft.queryengine.SearchEngine
 /** Round benchmark (driver contract: ONE JSON line on stdout; details to
   * BENCH/BASELINE.md per BASELINE.md's protocol).
   *
-  * Three sections:
+  * Three sections, ORDERED so a scaling overrun can never lose the rest:
   *  1. per-query wall time for every SparkEntry query on
   *     $SPARK_GRAFT_SF_DIR (full materialization via noop write, not
   *     count() — count() lets Catalyst prune the expensive columns);
+  *     runs FIRST — these numbers exist whatever the host does later;
   *  2. index-build throughput (docs/sec) on a generated corpus at TWO
   *     parallelism levels — local[1] vs local[4] by default — the sandbox
   *     stand-in for N vs 4N executors (BASELINE.json north_rule; driver
@@ -26,11 +27,19 @@ import graft.queryengine.SearchEngine
   *     for 8→32 (SMT siblings beyond ~16 workers) — no job can beat its
   *     hardware ceiling, so the 0.8-efficiency criterion is only
   *     demonstrable inside the linear region, 1→4. Each trial runs the
-  *     builds in a hi–lo–hi bracket with pre/post ceilings (see Trial):
-  *     the shared host throttles unpredictably at hypervisor level, and
-  *     bracketing makes each trial's ratio robust to linear drift;
+  *     builds in a hi–lo–hi bracket with pre/post ceilings (see Trial);
   *  3. warm p50/p95 top-10 BM25 query latency over the fixture query set
   *     (pruned block-max WAND path).
+  *
+  * The WHOLE RUN is bounded by a wall-clock deadline
+  * (SPARK_GRAFT_BENCH_DEADLINE_S, default 2400 s) measured from main()
+  * entry and covering EVERYTHING — probes, sleeps, builds (each
+  * subprocess build carries a hard kill at the remaining allowance). On
+  * deadline the bench stops starting work, finishes the report with
+  * whatever trials exist (possibly zero), and ALWAYS prints the final
+  * JSON line: partial honest output beats an rc=124 kill with nothing
+  * recorded (which is exactly what round 3's unbounded gate produced
+  * driver-side).
   */
 object Bench {
 
@@ -76,6 +85,22 @@ object Bench {
     if (pinningDisabled) Nil
     else Seq("taskset", "-c", if (threads == 1) "0" else s"0-${threads - 1}")
 
+  /** One pinned busy-loop probe (BenchBurn subprocess): total iterations
+    * at `threads` threads over its fixed 1.5 s window. */
+  private def burnSub(threads: Int): Long = {
+    val cmd = pinPrefix(threads) ++ Seq(
+      "java", "-cp", System.getProperty("java.class.path"),
+      "graft.BenchBurn", threads.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    proc.waitFor()
+    out.collectFirst { case l if l.startsWith("BENCHBURN_RESULT") =>
+      l.split(" ")(1).toLong
+    }.getOrElse(1L)
+  }
+
   /** Hardware thread-scaling ceiling measured AT TRIAL TIME: total
     * busy-loop iterations at `hi` threads vs 1 thread, each run in a
     * subprocess under the SAME CPU affinity as the build at that level
@@ -85,23 +110,17 @@ object Bench {
     * ratio) varies over time — the job's efficiency is only meaningful
     * against a ceiling measured next to the trial it normalizes. */
   private def cpuCeiling(hi: Int): Double = {
-    def burnSub(threads: Int): Long = {
-      val cmd = pinPrefix(threads) ++ Seq(
-        "java", "-cp", System.getProperty("java.class.path"),
-        "graft.BenchBurn", threads.toString)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-      proc.waitFor()
-      out.collectFirst { case l if l.startsWith("BENCHBURN_RESULT") =>
-        l.split(" ")(1).toLong
-      }.getOrElse(1L)
-    }
     val one = burnSub(1)
     val many = burnSub(hi)
     many.toDouble / math.max(one, 1L)
   }
+
+  /** Single-thread BenchBurn iterations measured on a CLEAN window of the
+    * round-3 calibration host (taskset -c 0; three runs 32.6e6/33.9e6/
+    * 37.2e6). The absolute probe floor scales by hostBurn/REF_BURN so a
+    * genuinely slower machine gets a proportionally lower floor instead
+    * of gating forever (round-3 VERDICT item 5 / ADVICE item 4). */
+  private val RefBurn = 3.5e7
 
   private def timeSec[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
@@ -110,6 +129,17 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val mainT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - mainT0) / 1e9
+    // hard wall-clock budget for the WHOLE bench (probes + sleeps +
+    // builds + queries + report); chosen to sit comfortably under the
+    // driver's external timeout so the final JSON always lands
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "2400").toDouble
+    def remainS: Double = deadlineS - elapsedS
+    // wall-clock reserved at the tail for the latency section + report
+    val reserveS = 180.0
+    var deadlineHit = false
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // 400k pages: large enough that fixed per-job overheads (~1 s of
@@ -125,11 +155,10 @@ object Bench {
       Files.createTempDirectory(Paths.get(base), "graft-bench").toString
     }
 
-    // ── section 2+3 prep: corpus + index at two parallelism levels ──
+    val corpusCfg = CorpusGen.Config(nSites = 4, pagesPerSite = benchDocs / 4, avgWords = 400)
     // nBatches=1 for the throughput runs: the batched/resumable loop adds
     // fixed per-batch job overheads that are not what the N-vs-4N scaling
     // criterion measures (resume correctness is tested in EngineSpec).
-    val corpusCfg = CorpusGen.Config(nSites = 4, pagesPerSite = benchDocs / 4, avgWords = 400)
     val idxCfg = IndexBuild.Config(shards = 8, saltThresholdDf = benchDocs / 20L,
       nBatches = 1, buckets = 16)
 
@@ -144,6 +173,31 @@ object Bench {
     var p95ColdMs = 0.0
     var queryTimes = Map.empty[String, Double]
     val queryErrors = scala.collection.mutable.ListBuffer.empty[String]
+
+    // ── section 1 FIRST: per-query times (full materialization). A
+    // failed query is NOT a fast success: it's excluded from
+    // `queries`/total and listed in query_errors so a broken query can't
+    // inflate throughput. Running this before the scaling section means
+    // a scaling overrun can never cost the per-query numbers again
+    // (round 3 lost all 36 driver-side). ──
+    {
+      val spark = newSession(cpus)
+      try {
+        queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+          var failed = false
+          val (_, sec) = timeSec {
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case scala.util.control.NonFatal(e) =>
+              failed = true
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
+          }
+          if (failed) { queryErrors += name; None } else Some(name -> sec)
+        }.toMap
+      } finally spark.stop()
+      System.err.println(f"[bench] query section done in $elapsedS%.0f s " +
+        f"(${queryTimes.size} ok, ${queryErrors.size} failed)")
+    }
 
     /** One timed fresh-JVM build: raw throughput plus the busy/steal
       * jiffy deltas BenchBuild read from /proc/stat around the timed
@@ -219,11 +273,16 @@ object Bench {
 
     /** Each timed build runs in a FRESH subprocess JVM (see BenchBuild):
       * in-process repetition measurably degrades later sessions (GC/heap
-      * accumulation — observed up to 2x on identical work). */
+      * accumulation — observed up to 2x on identical work). The
+      * subprocess carries a HARD KILL at `killAfterS` so a build started
+      * near the deadline (or one slowed 10x by a contention window) can
+      * never hold the bench past its budget — a killed build reports
+      * tput 0 and the trial is excluded as failed. */
     def buildAt(threads: Int, outDir: String,
         pagesPath: String = s"$work/pages",
         nDocs: Long = corpusCfg.nDocs,
-        warmup: Boolean = true): Measure = {
+        warmup: Boolean = true,
+        killAfterS: Double = Double.MaxValue): Measure = {
       val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.toArray.map(_.toString)
         .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
@@ -236,8 +295,27 @@ object Bench {
       if (!warmup) pb.environment().put("SPARK_GRAFT_WARMUP", "none")
       pb.redirectErrorStream(true)
       val proc = pb.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
-      proc.waitFor()
+      // drain stdout on a side thread so the child can't block on a full
+      // pipe while the main thread sits in the timed wait
+      val outBuf = new java.util.concurrent.atomic.AtomicReference[List[String]](Nil)
+      val drain = new Thread(() => {
+        try {
+          val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+          outBuf.set(lines)
+        } catch { case scala.util.control.NonFatal(_) => () } // killed child: stream closes mid-read
+        ()
+      })
+      drain.setDaemon(true)
+      drain.start()
+      val finished = proc.waitFor(
+        math.max(1L, math.min(killAfterS, 86400.0).toLong), java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        System.err.println(f"[bench] buildAt($threads) exceeded ${killAfterS}%.0f s — killed (deadline guard)")
+        proc.destroyForcibly().waitFor()
+        return Measure(0.0, 1L, 0L)
+      }
+      drain.join(5000)
+      val out = outBuf.get()
       out.find(_.startsWith("BENCHBUILD_RESULT")) match {
         case Some(line) =>
           val parts = line.split(" ")
@@ -252,9 +330,21 @@ object Bench {
     }
 
     var trials = Vector.empty[Trial]
+    var trialDurs = Vector.empty[Double]
     var lastHiIdx = "" // last successful high-parallelism index (latency section)
-    if (!skipScaling) {
-      // generate the shared corpus once (prep session, untimed)
+    var probeFloorUsed = 0.0
+    var probeFloorDerived = 0.0
+    var hostBurn1 = 0L
+    var gateProbes = 0
+    var gateSleptS = 0.0
+    var floorAccepted = false
+    if (!skipScaling && remainS <= reserveS + 120) {
+      deadlineHit = true
+      System.err.println(f"[bench] only ${remainS}%.0f s left after the query " +
+        "section — skipping the scaling section entirely (deadline)")
+    }
+    if (!skipScaling && remainS > reserveS + 120) {
+      // generate the shared corpus + the probe corpora once (untimed)
       val genSpark = newSession(cpus)
       try {
         if (!Files.exists(Paths.get(s"$work/pages")))
@@ -263,60 +353,123 @@ object Bench {
       // Adaptive trial count: the host's throttle windows last minutes, so
       // a fixed 5-trial run can land entirely inside one — keep running
       // fresh-JVM hi–lo–hi triples until `nTrials` UNDRIFTED trials exist
-      // (or the hard cap); every trial, drifted or not, is recorded.
+      // (or the hard cap / the deadline); every trial is recorded.
       val maxTrials = sys.env.getOrElse("SPARK_GRAFT_MAX_TRIALS", "12").toInt
       // ── clean-window GATE: decide WHEN to measure, never what to
       // report. The host's throttle/contention windows last tens of
       // minutes; a full hi–lo–hi trial started inside one burns ~25 min
       // of builds that the drift/contention flags then (correctly)
-      // discard. Before each trial a CHEAP pinned probe build (~30 s
+      // discard. Before each trial a CHEAP pinned probe build (~10 s
       // clean; no JIT warm-up — probes are only compared to each other)
       // samples the host: visible steal, or a rate far below the best
       // probe seen this run, means "inside a window" → sleep and
-      // re-probe within a bounded wait budget, then measure. If the
-      // budget runs out the trial proceeds anyway and the honesty flags
-      // judge it — the gate only spends sleep instead of builds. ──
-      val probeDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "30000").toInt
+      // re-probe. Round-3 lesson: the gate must be bounded by TOTAL
+      // wall-clock INCLUDING probe time, not just sleep — a contended
+      // 30k-doc probe took up to 4 minutes and held the driver run past
+      // its timeout with zero trials recorded. Now: probes are smaller
+      // (15k), shrink further (5k) while the host is slow, carry a hard
+      // kill, and the gate exits whenever the remaining budget is only
+      // enough for the trials themselves. ──
+      val probeDocs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "15000").toInt
+      val probeSmallDocs = math.max(3000, probeDocs / 3)
       val gateWaitStepS = sys.env.getOrElse("SPARK_GRAFT_GATE_STEP_S", "90").toInt
       var gateWaitBudgetS = sys.env.getOrElse("SPARK_GRAFT_GATE_WAIT_S", "1800").toInt
       // ABSOLUTE floor (docs/s) below which a probe means "window" even
       // when it is the best seen — the relative anchor is blind when the
       // RUN STARTS inside a long window (the first probe anchors itself;
-      // co-tenant bandwidth contention shows no steal). The default 1200
-      // splits this host's observed bands (contended probes: 137–895;
-      // clean: ≥ ~2000) with margin on both sides; a mis-set floor costs
-      // at most the bounded sleep budget, never a wrong measurement.
-      // Override per host via SPARK_GRAFT_PROBE_FLOOR (0 disables).
-      val probeFloor = sys.env.getOrElse("SPARK_GRAFT_PROBE_FLOOR", "1200").toDouble
-      val probeCfg = CorpusGen.Config(nSites = 2, pagesPerSite = probeDocs / 2, avgWords = 400)
-      if (probeDocs > 0) {
-        val ps = newSession(cpus)
-        try {
-          if (!Files.exists(Paths.get(s"$work/probe_pages")))
-            CorpusGen.generate(ps, probeCfg).write.parquet(s"$work/probe_pages")
-        } finally ps.stop()
+      // co-tenant bandwidth contention shows no steal). 1200 splits the
+      // calibration host's observed bands (contended probes: 137–895;
+      // clean: ≥ ~2000); it is PORTABLE via the run's own busy-loop
+      // calibration — scaled by hostBurn/RefBurn so a slower machine
+      // gates against its own silicon, not this host's
+      // (SPARK_GRAFT_PROBE_FLOOR overrides; 0 disables). And if the host
+      // sits STEADILY below the floor with no steal and a stable rate,
+      // that IS its clean rate: after 3 such consecutive probes the gate
+      // accepts the observed rate as the baseline instead of burning the
+      // whole sleep budget (ADVICE item 4).
+      hostBurn1 = burnSub(1)
+      probeFloorDerived = math.max(200.0, math.min(2400.0,
+        1200.0 * hostBurn1 / RefBurn))
+      var probeFloor = sys.env.get("SPARK_GRAFT_PROBE_FLOOR")
+        .map(_.toDouble).getOrElse(probeFloorDerived)
+      probeFloorUsed = probeFloor
+      System.err.println(f"[bench] probe floor ${probeFloor}%.0f docs/s " +
+        f"(derived ${probeFloorDerived}%.0f from hostBurn=$hostBurn1, ref=${RefBurn}%.0f)")
+      for (docs <- Seq(probeDocs, probeSmallDocs); if docs > 0) {
+        val dir = s"$work/probe_pages_$docs"
+        if (!Files.exists(Paths.get(dir))) {
+          val ps = newSession(cpus)
+          try CorpusGen.generate(ps,
+            CorpusGen.Config(nSites = 2, pagesPerSite = docs / 2, avgWords = 400))
+            .write.parquet(dir)
+          finally ps.stop()
+        }
       }
-      var bestProbe = 0.0
+      var bestProbe = 0.0 // best STD-size probe rate (the anchor scale)
       var probeN = 0
+      var lastRate = Double.MaxValue
+      // trailing std-size probe history for the slow-host acceptance rule
+      var recentStd = Vector.empty[Measure]
+      def estTrialS: Double =
+        if (trialDurs.nonEmpty) trialDurs.max * 1.3 else 650.0
       def cleanWindowGate(): Unit = if (probeDocs > 0) {
         var go = false
         while (!go) {
-          probeN += 1
-          val m = buildAt(pHigh, s"$work/probe$probeN",
-            s"$work/probe_pages", probeCfg.nDocs, warmup = false)
+          // bounded by TOTAL wall-clock: when what's left is only enough
+          // for the trial itself (+ tail reserve), stop probing and
+          // measure — the honesty flags judge whatever window we're in
+          if (remainS < estTrialS + reserveS + 30) {
+            System.err.println(f"[bench] gate: ${remainS}%.0f s left — proceeding without a clean window")
+            return
+          }
+          probeN += 1; gateProbes += 1
+          // shrink the probe while the host is slow: a 15k probe at
+          // 150 docs/s is 100 s of pure gate overhead; 5k bounds it
+          val small = lastRate < 0.8 * probeFloor
+          val docs = if (small) probeSmallDocs else probeDocs
+          val probeKill = math.max(30.0, math.min(remainS - reserveS, 240.0))
+          val m = buildAt(pHigh, s"$work/probe$probeN", s"$work/probe_pages_$docs",
+            docs.toLong, warmup = false, killAfterS = probeKill)
           import scala.sys.process._
           Seq("rm", "-rf", s"$work/probe$probeN").! : Unit
-          if (m.tput > bestProbe) bestProbe = m.tput
-          val contended = m.tput <= 0.0 ||
-            m.stealFrac > 0.10 || m.tput < 0.7 * bestProbe ||
-            m.tput < probeFloor
-          System.err.println(f"[bench] probe $probeN: ${m.tput}%.0f docs/s " +
-            f"(best ${bestProbe}%.0f), steal ${m.stealFrac * 100}%.1f%%" +
+          lastRate = if (m.tput > 0) m.tput else 1.0
+          if (!small && m.tput > bestProbe) bestProbe = m.tput
+          if (!small) recentStd = (recentStd :+ m).takeRight(3)
+          // small probes are a cheap "still contended?" check on their
+          // own scale (fixed per-job overhead underreads their rate);
+          // a small probe that looks clean is CONFIRMED by the next
+          // iteration's std probe before the gate opens
+          val contended =
+            if (small) m.tput <= 0.0 || m.stealFrac > 0.10 || m.tput < 0.8 * probeFloor
+            else m.tput <= 0.0 || m.stealFrac > 0.10 ||
+              m.tput < 0.7 * bestProbe || m.tput < probeFloor
+          System.err.println(f"[bench] probe $probeN${if (small) " (small)" else ""}: " +
+            f"${m.tput}%.0f docs/s (best ${bestProbe}%.0f), steal ${m.stealFrac * 100}%.1f%%" +
             (if (contended) " [window: waiting]" else " [clean]"))
-          if (!contended || gateWaitBudgetS <= 0) go = true
+          // slow-host acceptance: 3 consecutive std probes, all under the
+          // floor, zero steal, stable rate → that IS this host's clean
+          // rate; re-base the floor instead of sleeping the budget away
+          if (contended && recentStd.size == 3 &&
+              recentStd.forall(p => p.stealFrac < 0.02 && p.tput > 0 && p.tput < probeFloor) &&
+              recentStd.map(_.tput).max < 1.15 * recentStd.map(_.tput).min) {
+            probeFloor = 0.9 * median(recentStd.map(_.tput))
+            probeFloorUsed = probeFloor
+            floorAccepted = true
+            System.err.println(f"[bench] floor re-based to ${probeFloor}%.0f docs/s: " +
+              "host is steadily below the calibrated floor with no steal and a " +
+              "stable rate — accepting the observed rate as this host's clean baseline")
+          }
+          if (!contended && small) lastRate = Double.MaxValue // force std confirm
+          else if (!contended || gateWaitBudgetS <= 0) go = true
           else {
-            Thread.sleep(gateWaitStepS * 1000L)
-            gateWaitBudgetS -= gateWaitStepS
+            val sleepS = math.min(gateWaitStepS.toDouble,
+              math.max(0.0, remainS - estTrialS - reserveS - 30)).toLong
+            if (sleepS <= 0) go = true
+            else {
+              Thread.sleep(sleepS * 1000L)
+              gateWaitBudgetS -= sleepS.toInt
+              gateSleptS += sleepS.toDouble
+            }
           }
         }
       }
@@ -329,17 +482,30 @@ object Bench {
       def stableSoFar: Int =
         trials.count(x => !x.drifted && !contendedIn(trials)(x))
       var t = 0
-      while (t < maxTrials && stableSoFar < nTrials) {
+      while (t < maxTrials && stableSoFar < nTrials && {
+        val fits = remainS > estTrialS + reserveS
+        if (!fits) {
+          deadlineHit = true
+          System.err.println(f"[bench] deadline: ${remainS}%.0f s left < " +
+            f"est trial ${estTrialS}%.0f s + reserve — stopping after ${trials.size} trials")
+        }
+        fits
+      }) {
         t += 1
         cleanWindowGate()
+        val trialT0 = System.nanoTime()
+        // per-build hard kill: a trial must never outlive the remaining
+        // budget (a contention window can slow one build 10x mid-trial)
+        def buildKillS: Double = math.max(60.0, remainS - reserveS)
         val ceilPre = cpuCeiling(pHigh)
-        val hi1 = buildAt(pHigh, s"$work/t${t}_hi1")
-        val lo = buildAt(pLow, s"$work/t${t}_lo")
-        val hi2 = buildAt(pHigh, s"$work/t${t}_hi2")
+        val hi1 = buildAt(pHigh, s"$work/t${t}_hi1", killAfterS = buildKillS)
+        val lo = buildAt(pLow, s"$work/t${t}_lo", killAfterS = buildKillS)
+        val hi2 = buildAt(pHigh, s"$work/t${t}_hi2", killAfterS = buildKillS)
         val ceilPost = cpuCeiling(pHigh)
         val tr = Trial(ceilPre, ceilPost, lo, hi1, hi2)
         if (tr.ok) {
           trials :+= tr
+          trialDurs :+= (System.nanoTime() - trialT0) / 1e9
           lastHiIdx = s"$work/t${t}_hi2/idx"
           System.err.println(f"[bench] trial $t: ceiling ${tr.ceiling}%.2fx, " +
             f"${lo.tput}%.0f → (${hi1.tput}%.0f|${hi2.tput}%.0f) docs/s, " +
@@ -360,45 +526,56 @@ object Bench {
       }
     }
 
-    // ── sections 1 + 3 on the standard session ──
-    val spark = newSession(cpus)
-    try {
-      // 1. per-query times (full materialization). A failed query is NOT
-      //    a fast success: it's excluded from `queries`/total and listed
-      //    in query_errors so a broken query can't inflate throughput.
-      queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-        var failed = false
-        val (_, sec) = timeSec {
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case scala.util.control.NonFatal(e) =>
-            failed = true
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
+    // ── section 3: BM25 top-10 latency. COLD = first execution per
+    // query on a fresh engine (segment fetch job included); WARM =
+    // repeats (driver posting-cache hits — zero Spark jobs on the local
+    // path). When the deadline cut the scaling section before any trial
+    // finished, fall back to an UNTIMED in-process index build over the
+    // probe corpus so the latency numbers still get recorded. ──
+    if (!skipScaling) {
+      val spark = newSession(cpus)
+      try {
+        var idxDir = lastHiIdx
+        val pagesDir = s"$work/pages"
+        if (idxDir.isEmpty && remainS > 150 &&
+            !Files.exists(Paths.get(pagesDir))) {
+          // scaling never even generated the corpus — make a small one so
+          // the latency numbers still land (untimed, full parallelism)
+          CorpusGen.generate(spark,
+            CorpusGen.Config(nSites = 2, pagesPerSite = 7500, avgWords = 400))
+            .write.parquet(pagesDir)
         }
-        if (failed) { queryErrors += name; None } else Some(name -> sec)
-      }.toMap
-
-      // 3. BM25 top-10 latency: COLD = first execution per query on a
-      //    fresh engine (segment fetch job included); WARM = repeats
-      //    (driver posting-cache hits — zero Spark jobs on the local path)
-      if (!skipScaling && lastHiIdx.nonEmpty) {
-        val engine = new SearchEngine(spark, lastHiIdx, s"$work/pages", Bm25())
-        val qs = BenchQueries.queries
-        engine.topK(qs.head, 10) // one JIT warm-up query (not measured)
-        val cold = qs.tail.map { q =>
-          val (_, sec) = timeSec(engine.topK(q, 10))
-          sec * 1000.0
-        }.sorted
-        p50ColdMs = cold(cold.size / 2)
-        p95ColdMs = cold.last
-        val lat = (0 until 4).flatMap(_ => qs.map { q =>
-          val (_, sec) = timeSec(engine.topK(q, 10))
-          sec * 1000.0
-        }).sorted
-        p50Ms = lat(lat.size / 2)
-        p95Ms = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
-      }
-    } finally spark.stop()
+        if (idxDir.isEmpty && remainS > 90 &&
+            Files.exists(Paths.get(pagesDir))) {
+          System.err.println("[bench] no trial index available — building an untimed fallback for the latency section")
+          idxDir = s"$work/fallback/idx"
+          IndexBuild.run(spark,
+            spark.read.parquet(pagesDir)
+              .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow]),
+            idxDir, idxCfg)
+          IndexBuild.mergeSegments(spark, idxDir)
+        }
+        if (idxDir.nonEmpty && Files.exists(Paths.get(idxDir))) {
+          val engine = new SearchEngine(spark, idxDir, pagesDir, Bm25())
+          val qs = BenchQueries.queries
+          engine.topK(qs.head, 10) // one JIT warm-up query (not measured)
+          val cold = qs.tail.map { q =>
+            val (_, sec) = timeSec(engine.topK(q, 10))
+            sec * 1000.0
+          }.sorted
+          p50ColdMs = cold(cold.size / 2)
+          p95ColdMs = cold.last
+          val lat = (0 until 4).flatMap(_ => qs.map { q =>
+            val (_, sec) = timeSec(engine.topK(q, 10))
+            sec * 1000.0
+          }).sorted
+          p50Ms = lat(lat.size / 2)
+          p95Ms = lat(math.min(lat.size - 1, (lat.size * 0.95).toInt))
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] latency section failed (continuing to report): ${e.getMessage}")
+      } finally spark.stop()
+    }
 
     val effMedian = median(trials.map(_.effRaw))
     val effBest = if (trials.isEmpty) 0.0 else trials.map(_.effRaw).max
@@ -429,7 +606,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errsJson = queryErrors.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"pinned":${!pinningDisabled},"n_trials":${trials.size},"n_stable_trials":$nStable,"stable_fallback":$stableFallback,"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"pinned":${!pinningDisabled},"n_trials":${trials.size},"n_stable_trials":$nStable,"stable_fallback":$stableFallback,"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs,"deadline_s":${f"$deadlineS%.0f"},"elapsed_s":${f"$elapsedS%.0f"},"deadline_hit":$deadlineHit,"probe_floor":${f"$probeFloorUsed%.0f"},"probe_floor_derived":${f"$probeFloorDerived%.0f"},"probe_floor_rebased":$floorAccepted,"host_burn_1t":$hostBurn1,"gate_probes":$gateProbes,"gate_slept_s":${f"$gateSleptS%.0f"}}""")
 
     // BENCH/BASELINE.md per the measurement protocol in BASELINE.md
     val trialRows = trials.zipWithIndex.map { case (t, i) =>
@@ -441,6 +618,11 @@ object Bench {
          |
          |Corpus: ${corpusCfg.nDocs} synthetic pages (4 sites, seed 42); index:
          |shards=${idxCfg.shards}, saltThreshold=${idxCfg.saltThresholdDf}, batches=${idxCfg.nBatches}.
+         |Run order: per-query section FIRST, then scaling, then latency — and the
+         |whole run is bounded by a wall-clock deadline (${f"$deadlineS%.0f"} s, probes and
+         |builds included, every subprocess build hard-killed at the remaining
+         |allowance) so the final artifact always lands inside the driver's
+         |timeout, with however many trials fit${if (deadlineHit) " — THIS RUN HIT THE DEADLINE" else ""}.
          |Scaling = ${trials.size} trials; each trial = fresh-JVM builds in a
          |hi–lo–hi BRACKET — local[$pHigh], local[$pLow], local[$pHigh] — with the busy-loop
          |hardware ceiling measured before and after. The high throughput is the
@@ -470,11 +652,17 @@ object Bench {
          |efficiency is impossible (>1.02); medians over all trials AND over
          |stable trials are both reported, with every trial embedded in
          |BENCH JSON. Trials are SAMPLED INTO CLEAN WINDOWS: before each
-         |trial a cheap pinned probe build (~30 s) checks for visible
-         |steal or a rate <70% of the best probe seen; inside a window
-         |the bench sleeps (bounded budget) instead of burning a ~25-min
-         |trial that the flags would discard — the gate decides when to
-         |measure, never what to report.
+         |trial a cheap pinned probe build checks for visible steal or a
+         |rate below 70% of the best probe seen / below an absolute floor
+         |(${f"$probeFloorUsed%.0f"} docs/s this run — derived from the run's own busy-loop
+         |calibration, hostBurn=$hostBurn1 vs ref ${f"$RefBurn%.0f"}, so the default
+         |gates correctly on any silicon${if (floorAccepted) "; RE-BASED mid-run after 3 steady " +
+           "sub-floor zero-steal probes — the observed rate is this host's clean baseline" else ""});
+         |inside a window the bench sleeps (bounded budget) instead of
+         |burning a trial the flags would discard, probes shrink 3x while
+         |the host is slow, and gate time counts against the global
+         |deadline — the gate decides when to measure, never what to
+         |report, and can no longer hold the run past its budget.
          |
          || trial | ceiling pre/post | docs/s @local[$pLow] | docs/s @local[$pHigh] (pre/post) | max steal | eff raw | eff corr | eff vs ceiling | drifted |
          ||---|---|---|---|---|---|---|---|---|
@@ -495,6 +683,7 @@ object Bench {
          || BM25 top-10 p50 latency (cold) | ${f"$p50ColdMs%.1f"} ms | first execution per query: segment fetch job included |
          || BM25 top-10 max latency (cold) | ${f"$p95ColdMs%.1f"} ms | worst first-execution over the query set |
          || SparkEntry query total @ $sfDir | ${f"$total%.3f"} s | ${queryTimes.size} queries, noop-write materialization${if (queryErrors.nonEmpty) s"; FAILED: ${queryErrors.mkString(", ")}" else ""} |
+         || bench wall-clock | ${f"$elapsedS%.0f"} s of ${f"$deadlineS%.0f"} s budget | gate: $gateProbes probes, ${f"$gateSleptS%.0f"} s slept${if (deadlineHit) "; DEADLINE HIT" else ""} |
          |
          |Per-query seconds: ${queryTimes.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f"$v%.2f"}" }.mkString(", ")}
          |""".stripMargin)

@@ -129,8 +129,12 @@ object GraftCli {
             else org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 seconds"))
         if (once) {
           q.processAllAvailable(); q.stop()
-          val n = graft.store.TableStore.open(spark, indexDir)
-            .read("stats").collect()(0).getAs[Long]("n_docs")
+          // an empty feed dir processes zero batches and bootstraps no
+          // index — report that instead of throwing on the missing stats
+          val st = graft.store.TableStore.open(spark, indexDir)
+          val n =
+            if (st.exists("stats")) st.read("stats").collect()(0).getAs[Long]("n_docs")
+            else 0L
           println(s"ingested available feed files ($n docs indexed)")
         } else q.awaitTermination()
 

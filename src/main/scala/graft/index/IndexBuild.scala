@@ -312,6 +312,21 @@ object IndexBuild {
     (((h % buckets) + buckets) % buckets).toInt
   }
 
+  /** Column form of [[termBucket]] over a `term` column — MUST stay in
+    * lockstep with it (both are xxhash64 seed 42). */
+  def termBucketCol(buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("term")), lit(buckets)).cast("int")
+
+  /** Storage partition (`db`) of the docs/doc_terms dimensions: doc_id is
+    * already a xxhash64 of the url, so its residue partitions uniformly.
+    * Bucketing the dims is what makes a refresh/delete O(touched) — only
+    * the partitions holding the affected doc ids are rewritten
+    * (Refresh.refreshPages), the rest keep their files byte-identical. */
+  def docBucketCol(buckets: Int): org.apache.spark.sql.Column =
+    pmod(col("doc_id"), lit(buckets)).cast("int")
+
+  def docBucketOf(docId: Long, buckets: Int): Int = (docId % buckets).toInt
+
   /** Full resumable build to `outDir`:
     * {docs, lemma_stats, stats, segments/batch=i/bucket=b, lineage}.
     * Restart-safe: a batch whose lineage row says COMPLETE is skipped;
@@ -394,9 +409,13 @@ object IndexBuild {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
 
+    // dims are BUCKET-PARTITIONED by doc id (`db`) / term (`bucket`):
+    // that is what makes a later refresh/delete O(touched) — it rewrites
+    // only the partitions holding the affected rows (Refresh.refreshPages)
     val docsF = Future(phase("docs write")(store.write(
-      analyzed.select("doc_id", "url", "site", "lang", "dl"),
-      "docs", SaveMode.Overwrite)))
+      analyzed.select("doc_id", "url", "site", "lang", "dl")
+        .withColumn("db", docBucketCol(cfg.buckets)),
+      "docs", SaveMode.Overwrite, partitionBy = Seq("db"))))
 
     // FORWARD index (doc -> its distinct terms): the structure that makes
     // a later single-page refresh/delete O(doc) instead of O(corpus) —
@@ -406,15 +425,17 @@ object IndexBuild {
     // (IndexEntity rows by page_id); a posting-list engine must store it
     // explicitly (Lucene's analogue: per-doc term vectors).
     val docTermsF = Future(phase("doc_terms write")(store.write(
-      analyzed.select(col("doc_id"), map_keys(col("terms")).as("terms")),
-      "doc_terms", SaveMode.Overwrite)))
+      analyzed.select(col("doc_id"), map_keys(col("terms")).as("terms"))
+        .withColumn("db", docBucketCol(cfg.buckets)),
+      "doc_terms", SaveMode.Overwrite, partitionBy = Seq("db"))))
 
     val post = analyzed
       .select(col("doc_id"), col("site"), col("dl"), explode(col("terms")).as(Seq("term", "tf")))
 
     val lemmaStatsF = Future(phase("lemma_stats write")(store.write(
-      post.groupBy("term", "site").agg(count(lit(1)).as("df")),
-      "lemma_stats", SaveMode.Overwrite)))
+      post.groupBy("term", "site").agg(count(lit(1)).as("df"))
+        .withColumn("bucket", termBucketCol(cfg.buckets)),
+      "lemma_stats", SaveMode.Overwrite, partitionBy = Seq("bucket"))))
 
     // Global stats for BM25 (N, avgdl) + build config — one tiny row,
     // collected ONCE (the doc-id uniqueness check rides the same

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Lemmatizer, PostingCodec}
@@ -17,13 +17,22 @@ import graft.store.TableStore
   *  - a refresh appends (a) a delta segment batch holding the new
   *    version's postings and (b) a tombstone row (doc_id, as_of_batch)
   *    meaning "postings of doc_id from any batch < as_of_batch are dead";
-  *  - the merge applies tombstones while sort-merging (latest batch
-  *    wins), writes a fresh `index`, records the high-water batch in
-  *    `index_meta`, and derives lemma_stats/stats/docs consistently.
+  *  - EVERY table the refresh maintains is O(touched), not O(corpus):
+  *    docs/doc_terms are bucket-partitioned by doc id (`db`) and only the
+  *    partitions holding the affected ids are rewritten; lemma_stats is
+  *    bucket-partitioned by term and updated by an exact ±df delta over
+  *    the touched term buckets; corpus stats (n_docs/avgdl/total_tokens)
+  *    are adjusted from the delta itself — never re-aggregated;
+  *  - compaction (tombstone application + re-encode) is bucket-pruned via
+  *    the per-batch `touched_log`, and may be DEFERRED across several
+  *    refresh batches (`compact = false`): the index lags at its old
+  *    as_of while queries overlay the pending delta batches
+  *    (SearchEngine's delta-overlay read path), and a later compaction
+  *    folds all pending batches in one bucket-pruned pass — the shape
+  *    sustained streaming ingest needs (IndexStream.compactEvery).
   *
-  * The stats rebuild decodes the merged index (one full pass) — correct
-  * and simple in-sandbox; at 10^12 docs those aggregates would be
-  * maintained incrementally via Iceberg MERGE INTO instead.
+  * The Iceberg production mapping is MERGE INTO + equality-delete files;
+  * `compactTouched` is that table's compaction expressed over parquet.
   */
 object Refresh {
 
@@ -44,11 +53,27 @@ object Refresh {
     math.max(fromLineage, indexAsOf(spark, outDir)) + 1
   }
 
-  /** Re-index (or newly index) the given pages; `delete` additionally
-    * removes docs by url without re-adding. Appends a delta batch +
-    * tombstones, then re-merges. */
+  /** Delta batches committed but not yet folded into `index` (refreshes
+    * ran with compact = false). */
+  def pendingBatches(spark: SparkSession, outDir: String): Int =
+    math.max(0, nextBatch(spark, outDir) - 1 - indexAsOf(spark, outDir))
+
+  /** The O(touched) paths need the forward doc_terms table AND the
+    * bucket-partitioned dims (docs.db, lemma_stats.bucket) — all written
+    * by current builds. An index predating any of them takes the legacy
+    * full-merge path below (which also UPGRADES the dims it rewrites, so
+    * one legacy refresh converts the index in place). */
+  private def incrementalLayout(store: TableStore): Boolean =
+    store.exists("doc_terms") && store.exists("docs") &&
+      store.read("docs").columns.contains("db") &&
+      store.read("lemma_stats").columns.contains("bucket")
+
+  /** Re-index (or newly index) the given pages; appends a delta batch +
+    * tombstones, maintains every dimension O(touched), then compacts the
+    * touched index buckets (or defers it when `compact = false`). */
   def refreshPages(spark: SparkSession, outDir: String, pages: Dataset[PageRow],
-      cfg: IndexBuild.Config = IndexBuild.Config()): Unit = {
+      cfg: IndexBuild.Config = IndexBuild.Config(),
+      compact: Boolean = true): Unit = {
     import spark.implicits._
     val store = TableStore.open(spark, outDir)
     val batch = nextBatch(spark, outDir)
@@ -80,39 +105,108 @@ object Refresh {
     store.write(analyzed.select(col("doc_id"), lit(batch).as("as_of_batch")),
       "tombstones", SaveMode.Append)
 
-    // touched terms = OLD version's terms (from the forward doc_terms
-    // table — names the buckets holding the postings to tombstone) ∪ NEW
-    // version's terms. Materialized BEFORE doc_terms is replaced below.
+    val incremental = incrementalLayout(store)
     val newIds = analyzed.select("doc_id")
+    // doc buckets touched by this batch — tiny by construction (≤ batch
+    // size, ≤ bucket count); collected to prune the dim partition reads
+    val dbs: Seq[Int] =
+      if (!incremental) Nil
+      else newIds.select(IndexBuild.docBucketCol(cfg.buckets).as("db"))
+        .distinct().as[Int].collect().toSeq
+    def pruneDb(df: DataFrame): DataFrame =
+      if (incremental) df.filter(col("db").isin(dbs: _*)) else df
+
+    // touched terms = OLD version's terms (from the forward doc_terms
+    // table, partition-pruned to the touched doc buckets) ∪ NEW version's
+    // terms. Materialized BEFORE doc_terms is rewritten below
+    // (localCheckpoint = lineage cut, survives its source's replacement).
     val hadForward = store.exists("doc_terms")
-    // localCheckpoint (NOT persist): the doc_terms/docs tables are
-    // REPLACED below, and a replace invalidates+recomputes any cached
-    // plan that references the table — a lineage-cut snapshot is the only
-    // value that survives its source's replacement
     val touched = (store.readOpt("doc_terms") match {
-      case Some(dt) => dt.join(newIds, Seq("doc_id"))
+      case Some(dt) => pruneDb(dt).join(newIds, Seq("doc_id"))
         .select(explode(col("terms")).as("term"))
       case None => analyzed.limit(0).select(lit("").as("term"))
     }).union(analyzed.select(explode(map_keys(col("terms"))).as("term")))
       .distinct()
       .localCheckpoint(true)
 
-    // refresh docs dim: latest row per url wins
-    val newDocs = analyzed.select("doc_id", "url", "site", "lang", "dl")
-    val oldDocs = store.read("docs")
-    val mergedDocs = oldDocs.join(newIds, Seq("doc_id"), "left_anti")
-      .union(newDocs)
-    store.replace(mergedDocs, "docs")
+    // per-batch touched-bucket log: deferred compaction and the engine's
+    // delta-overlay read path derive their bucket set from this tiny
+    // table (rows with batch > index_meta's as_of are pending)
+    val touchedBuckets: Seq[Int] = touched
+      .select(IndexBuild.termBucketCol(cfg.buckets).as("bucket"))
+      .distinct().as[Int].collect().toSeq.sorted
+    store.write(Seq((batch, touchedBuckets)).toDF("batch", "buckets"),
+      "touched_log", SaveMode.Append)
 
-    // forward index follows the docs dim: latest version's term set wins.
-    // An index that PREDATES doc_terms keeps none (a partial forward
-    // table would silently break later pruned compactions) — such an
-    // index always takes the full-merge path below.
-    if (hadForward) {
-      val newDocTerms = analyzed.select(col("doc_id"), map_keys(col("terms")).as("terms"))
+    if (incremental) {
+      // old versions of the replaced docs — pruned partition read,
+      // snapshotted BEFORE the dims are overwritten; feeds the stats
+      // delta and the lemma_stats decrement
+      val oldDocs = pruneDb(store.read("docs"))
+        .join(newIds, Seq("doc_id"), "leftsemi")
+        .select("doc_id", "site", "dl")
+        .localCheckpoint(true)
+      val oldTermRows = pruneDb(store.read("doc_terms"))
+        .join(newIds, Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), explode(col("terms")).as("term"))
+        .join(oldDocs.select("doc_id", "site"), Seq("doc_id"))
+        .localCheckpoint(true)
+
+      // docs / doc_terms: rewrite ONLY the touched doc buckets
+      val newDocs = analyzed.select("doc_id", "url", "site", "lang", "dl")
+        .withColumn("db", IndexBuild.docBucketCol(cfg.buckets))
+      rewriteDocBuckets(store,
+        pruneDb(store.read("docs")).join(newIds, Seq("doc_id"), "left_anti")
+          .unionByName(newDocs),
+        "docs", dbs)
+      val newDocTerms = analyzed
+        .select(col("doc_id"), map_keys(col("terms")).as("terms"))
+        .withColumn("db", IndexBuild.docBucketCol(cfg.buckets))
+      rewriteDocBuckets(store,
+        pruneDb(store.read("doc_terms")).join(newIds, Seq("doc_id"), "left_anti")
+          .unionByName(newDocTerms),
+        "doc_terms", dbs)
+
+      // lemma_stats: df(term, site) += new-version counts − old-version
+      // counts, over ONLY the touched term buckets (exact — df is a count
+      // of distinct docs per (term, site), and each doc contributes one
+      // per distinct term, which is precisely what doc_terms stores)
+      val plus = analyzed
+        .select(col("site"), explode(map_keys(col("terms"))).as("term"))
+        .groupBy("term", "site").agg(count(lit(1)).as("d"))
+      val minus = oldTermRows.groupBy("term", "site")
+        .agg((-count(lit(1))).as("d"))
+      applyLemmaStatsDelta(spark, store, plus.unionByName(minus), cfg)
+
+      // corpus stats adjusted from the delta — never re-aggregated
+      val added = analyzed.agg(count(lit(1)), sum(col("dl")))
+        .as[(Long, Option[Long])].collect()(0)
+      val removed = oldDocs.agg(count(lit(1)), sum(col("dl")))
+        .as[(Long, Option[Long])].collect()(0)
+      applyStatsDelta(spark, store,
+        added._1 - removed._1,
+        added._2.getOrElse(0L) - removed._2.getOrElse(0L))
+    } else {
+      // legacy layout: full dim rewrites — and the rewrite UPGRADES the
+      // dims to the bucket-partitioned layout, so the next refresh on
+      // this index is O(touched)
+      val newDocs = analyzed.select("doc_id", "url", "site", "lang", "dl")
+      val oldDocs = store.read("docs")
+        .select("doc_id", "url", "site", "lang", "dl")
       store.replace(
-        store.read("doc_terms").join(newIds, Seq("doc_id"), "left_anti")
-          .union(newDocTerms), "doc_terms")
+        oldDocs.join(newIds, Seq("doc_id"), "left_anti").unionByName(newDocs)
+          .withColumn("db", IndexBuild.docBucketCol(cfg.buckets)),
+        "docs", partitionBy = Seq("db"))
+      if (hadForward) {
+        val newDocTerms = analyzed
+          .select(col("doc_id"), map_keys(col("terms")).as("terms"))
+        store.replace(
+          store.read("doc_terms").select("doc_id", "terms")
+            .join(newIds, Seq("doc_id"), "left_anti")
+            .unionByName(newDocTerms)
+            .withColumn("db", IndexBuild.docBucketCol(cfg.buckets)),
+          "doc_terms", partitionBy = Seq("db"))
+      }
     }
 
     // lineage commit row for the delta — REAL metrics (north_star: per-
@@ -144,28 +238,40 @@ object Refresh {
       "site_status", SaveMode.Append)
     analyzed.unpersist()
 
-    if (hadForward) compactTouched(spark, outDir, cfg, touched)
-    else mergeWithTombstones(spark, outDir, cfg)
+    if (!incremental) mergeWithTombstones(spark, outDir, cfg)
+    else if (compact) compactTouched(spark, outDir, cfg)
   }
 
   /** Delete docs by url (no replacement). */
   def deletePages(spark: SparkSession, outDir: String, urls: Seq[String],
-      cfg: IndexBuild.Config = IndexBuild.Config()): Unit = {
+      cfg: IndexBuild.Config = IndexBuild.Config(),
+      compact: Boolean = true): Unit = {
     import spark.implicits._
     val store = TableStore.open(spark, outDir)
     val batch = nextBatch(spark, outDir)
-    val idsDf = urls.map(IndexBuild.stableDocId).toDF("doc_id")
+    val ids = urls.map(IndexBuild.stableDocId)
+    val idsDf = ids.toDF("doc_id")
+    val incremental = incrementalLayout(store)
+    val dbs: Seq[Int] =
+      ids.map(IndexBuild.docBucketOf(_, cfg.buckets)).distinct.sorted
+    def pruneDb(df: DataFrame): DataFrame =
+      if (incremental) df.filter(col("db").isin(dbs: _*)) else df
     val hadForward = store.exists("doc_terms")
-    // the deleted docs' terms (forward lookup) name the buckets to
-    // compact; lineage-cut snapshot — doc_terms is replaced below
+    // the deleted docs' terms (forward lookup, partition-pruned) name the
+    // buckets to compact; lineage-cut snapshot — doc_terms is rewritten
     val touched = (store.readOpt("doc_terms") match {
-      case Some(dt) => dt.join(idsDf, Seq("doc_id"))
+      case Some(dt) => pruneDb(dt).join(idsDf, Seq("doc_id"))
         .select(explode(col("terms")).as("term")).distinct()
       case None => Seq.empty[String].toDF("term")
     }).localCheckpoint(true)
     store.write(
-      urls.map(u => (IndexBuild.stableDocId(u), batch)).toDF("doc_id", "as_of_batch"),
+      ids.map(id => (id, batch)).toDF("doc_id", "as_of_batch"),
       "tombstones", SaveMode.Append)
+    val touchedBuckets: Seq[Int] = touched
+      .select(IndexBuild.termBucketCol(cfg.buckets).as("bucket"))
+      .distinct().as[Int].collect().toSeq.sorted
+    store.write(Seq((batch, touchedBuckets)).toDF("batch", "buckets"),
+      "touched_log", SaveMode.Append)
     // lineage commit row for the delete: keeps the high-water batch
     // accounting symmetric with refreshPages (nextBatch derives from
     // max(lineage, index_meta) — a delete without a lineage row would
@@ -181,60 +287,235 @@ object Refresh {
       lit(null).cast("string").as("error"),
       current_timestamp().as("ts")),
       "lineage", SaveMode.Append)
-    store.replace(
-      store.read("docs").join(idsDf, Seq("doc_id"), "left_anti"), "docs")
-    if (hadForward)
+
+    if (incremental) {
+      val oldDocs = pruneDb(store.read("docs"))
+        .join(idsDf, Seq("doc_id"), "leftsemi")
+        .select("doc_id", "site", "dl")
+        .localCheckpoint(true)
+      val oldTermRows = pruneDb(store.read("doc_terms"))
+        .join(idsDf, Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"), explode(col("terms")).as("term"))
+        .join(oldDocs.select("doc_id", "site"), Seq("doc_id"))
+        .localCheckpoint(true)
+      rewriteDocBuckets(store,
+        pruneDb(store.read("docs")).join(idsDf, Seq("doc_id"), "left_anti"),
+        "docs", dbs)
+      rewriteDocBuckets(store,
+        pruneDb(store.read("doc_terms")).join(idsDf, Seq("doc_id"), "left_anti"),
+        "doc_terms", dbs)
+      applyLemmaStatsDelta(spark, store,
+        oldTermRows.groupBy("term", "site").agg((-count(lit(1))).as("d")), cfg)
+      val removed = oldDocs.agg(count(lit(1)), sum(col("dl")))
+        .as[(Long, Option[Long])].collect()(0)
+      applyStatsDelta(spark, store, -removed._1, -removed._2.getOrElse(0L))
+    } else {
       store.replace(
-        store.read("doc_terms").join(idsDf, Seq("doc_id"), "left_anti"), "doc_terms")
-    if (hadForward) compactTouched(spark, outDir, cfg, touched)
-    else mergeWithTombstones(spark, outDir, cfg)
+        store.read("docs").select("doc_id", "url", "site", "lang", "dl")
+          .join(idsDf, Seq("doc_id"), "left_anti")
+          .withColumn("db", IndexBuild.docBucketCol(cfg.buckets)),
+        "docs", partitionBy = Seq("db"))
+      if (hadForward)
+        store.replace(
+          store.read("doc_terms").select("doc_id", "terms")
+            .join(idsDf, Seq("doc_id"), "left_anti")
+            .withColumn("db", IndexBuild.docBucketCol(cfg.buckets)),
+          "doc_terms", partitionBy = Seq("db"))
+    }
+
+    if (!incremental) mergeWithTombstones(spark, outDir, cfg)
+    else if (compact) compactTouched(spark, outDir, cfg)
   }
 
-  /** Sort-merge base index + delta batches with equality deletes applied
-    * (posting alive ⇔ its batch ≥ the doc's max tombstone), then rebuild
-    * the derived aggregates so query-time pruning stays exact.
-    *
-    * Fully distributed: tombstones are joined as a TABLE (Spark picks
-    * broadcast-hash for a small tombstone set, sort-merge for a huge one —
-    * no driver-side collection either way), and lemma_stats derives from
-    * the SAME decoded pass that feeds the re-encode (persisted once), so
-    * the index is decoded exactly once per merge. The Iceberg production
-    * mapping is MERGE INTO with equality-delete files + a compaction job;
-    * this is that compaction expressed over parquet. */
-  def mergeWithTombstones(spark: SparkSession, outDir: String,
-      cfg: IndexBuild.Config): Unit = {
-    import spark.implicits._
-    val store = TableStore.open(spark, outDir)
-    val asOf = indexAsOf(spark, outDir)
+  /** Rewrite ONLY the given doc-bucket partitions of a dim table with
+    * `content` (already restricted to those buckets). `content` is
+    * snapshotted (lineage cut) because it reads the partitions it then
+    * overwrites; a bucket whose rows all died is dropped explicitly
+    * (dynamic overwrite never touches a partition absent from the data). */
+  private def rewriteDocBuckets(store: TableStore, content: DataFrame,
+      table: String, dbs: Seq[Int]): Unit = {
+    val snap = content.localCheckpoint(true)
+    store.overwritePartitions(snap, table, Seq("db"))
+    val alive = snap.select("db").distinct()
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().toSet
+    (dbs.toSet -- alive).foreach(b => store.drop(s"$table/db=$b"))
+  }
 
+  /** Apply an exact ±df delta to lemma_stats over only the touched term
+    * buckets. `delta` columns: (term, site, d). Rows whose df reaches 0
+    * are dropped; buckets whose rows all died are dropped. */
+  private def applyLemmaStatsDelta(spark: SparkSession, store: TableStore,
+      delta: DataFrame, cfg: IndexBuild.Config): Unit = {
+    import spark.implicits._
+    val d = delta.groupBy("term", "site").agg(sum(col("d")).as("d"))
+      .filter(col("d") =!= 0L)
+      .localCheckpoint(true)
+    val tbs: Seq[Int] = d
+      .select(IndexBuild.termBucketCol(cfg.buckets).as("bucket"))
+      .distinct().as[Int].collect().toSeq
+    if (tbs.isEmpty) return
+    val part = store.read("lemma_stats")
+      .filter(col("bucket").isin(tbs: _*))
+      .select("term", "site", "df")
+    val merged = part
+      .join(d, Seq("term", "site"), "full_outer")
+      .select(col("term"), col("site"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("d"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .withColumn("bucket", IndexBuild.termBucketCol(cfg.buckets))
+      .localCheckpoint(true)
+    store.overwritePartitions(merged, "lemma_stats", Seq("bucket"))
+    val alive = merged.select("bucket").distinct().as[Int].collect().toSet
+    (tbs.toSet -- alive).foreach(b => store.drop(s"lemma_stats/bucket=$b"))
+  }
+
+  /** Adjust corpus stats (n_docs / avgdl / total_tokens) by the refresh
+    * delta — one tiny read + one tiny replace, no O(corpus) aggregation.
+    * (Uniqueness is enforced at build time; refresh replaces by doc_id,
+    * so n_distinct tracks n_docs exactly.) */
+  private def applyStatsDelta(spark: SparkSession, store: TableStore,
+      dDocs: Long, dTokens: Long): Unit = {
+    val prev = store.read("stats").collect()(0)
+    def carried(name: String, dflt: Int): Int =
+      try prev.getAs[Int](name) catch { case _: Exception => dflt }
+    val n = prev.getAs[Long]("n_docs") + dDocs
+    val tt = prev.getAs[Long]("total_tokens") + dTokens
+    store.replace(spark.range(1).select(
+      lit(n).as("n_docs"),
+      lit(n).as("n_distinct"),
+      lit(if (n > 0) tt.toDouble / n else 0.0).as("avgdl"),
+      lit(tt).as("total_tokens"),
+      lit(prev.getAs[Int]("shards")).as("shards"),
+      lit(carried("n_batches", 1)).as("n_batches"),
+      lit(carried("site_groups", IndexBuild.Config().siteGroups)).as("site_groups"),
+      lit(carried("buckets", IndexBuild.Config().buckets)).as("buckets")),
+      "stats")
+  }
+
+  /** Decoded, tombstone-filtered posting rows (term, shard, doc_id, tf,
+    * dl) of the given index buckets: base segments as-of `asOf` plus
+    * every pending delta batch, latest batch winning per doc. The result
+    * is lineage-cut (localCheckpoint), so callers may overwrite the
+    * tables it read while consuming it — compaction does exactly that,
+    * and the engine's delta-overlay read path consumes it read-only. */
+  private[graft] def aliveRows(spark: SparkSession, store: TableStore,
+      buckets: Seq[Int], asOf: Int): DataFrame = {
+    import spark.implicits._
     val tombDf = store.readOpt("tombstones")
       .map(_.groupBy("doc_id").agg(max("as_of_batch").as("tomb_batch")))
       .getOrElse(Seq.empty[(Long, Int)].toDF("doc_id", "tomb_batch"))
-
     val base = store.read("index")
+      .filter(col("bucket").isin(buckets: _*))
       .select(lit(asOf).as("batch"), col("term"), col("shard"), col("postings"))
     val deltas = store.readOpt("segments")
-      .map(_.filter(col("batch") > asOf)
+      .map(_.filter(col("batch") > asOf && col("bucket").isin(buckets: _*))
         .select(col("batch"), col("term"), col("shard"), col("postings")))
       .getOrElse(base.limit(0))
-    val maxBatch = nextBatch(spark, outDir) - 1
-
-    // ONE decode pass; alive rows feed both the re-encode and lemma_stats
-    val exploded = base.union(deltas)
+    base.union(deltas)
       .as[(Int, String, Int, Array[Byte])]
       .flatMap { case (batch, term, shard, bytes) =>
         PostingCodec.decode(bytes).iterator.map(p =>
           (batch, term, shard, p.docId, p.tf, p.dl))
       }
       .toDF("batch", "term", "shard", "doc_id", "tf", "dl")
-    // lineage-cut snapshot (not persist): alive is read again for the
-    // lemma_stats rebuild AFTER `index` — its source — is replaced; a
-    // cached plan would be invalidated and recomputed over the new table
-    val alive = exploded
       .join(tombDf, Seq("doc_id"), "left")
       .filter(col("tomb_batch").isNull || col("tomb_batch") <= col("batch"))
       .select("term", "shard", "doc_id", "tf", "dl")
       .localCheckpoint(true)
+  }
+
+  /** Pending touched buckets: union of touched_log entries newer than the
+    * index's as_of — exactly the partitions where `index` is stale. */
+  private[graft] def pendingTouchedBuckets(spark: SparkSession,
+      store: TableStore, asOf: Int): Seq[Int] = {
+    import spark.implicits._
+    store.readOpt("touched_log")
+      .map(_.filter(col("batch") > asOf)
+        .select(explode(col("buckets")).as("b"))
+        .distinct().as[Int].collect().toSeq.sorted)
+      .getOrElse(Nil)
+  }
+
+  /** BUCKET-PRUNED compaction — folds EVERY pending delta batch into the
+    * index by rewriting only the term buckets their refreshes touched
+    * (from `touched_log`); untouched bucket partitions keep their files
+    * byte-identical. Dimensions are NOT touched here — refreshPages/
+    * deletePages maintain them incrementally per batch, so a deferred
+    * compaction leaves them exact throughout.
+    *
+    * Granularity note: pruning is per storage partition (`bucket`), so
+    * its selectivity is buckets ÷ distinct-terms-per-doc — production
+    * sizes `buckets` with the corpus (thousands of partitions at 10^12
+    * docs, like Iceberg partition counts), making a one-page refresh
+    * touch a few permille of the index. The in-sandbox default of 16
+    * exists only to keep tiny test indexes from fragmenting.
+    *
+    * Crash recovery: tombstones and delta batches are retained until the
+    * index_meta bump, so re-running the compaction (or a full
+    * mergeWithTombstones) after a crash mid-overwrite converges — the
+    * Iceberg production mapping makes the partition overwrite a single
+    * atomic commit instead. Spent tombstones (≤ the new as_of) are GC'd
+    * after the commit point. */
+  def compactTouched(spark: SparkSession, outDir: String,
+      cfg: IndexBuild.Config): Unit = {
+    import spark.implicits._
+    val store = TableStore.open(spark, outDir)
+    val asOf = indexAsOf(spark, outDir)
+    val maxBatch = nextBatch(spark, outDir) - 1
+    val buckets = pendingTouchedBuckets(spark, store, asOf)
+    if (buckets.isEmpty) { // nothing indexed was touched (empty page)
+      store.write(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
+        "index_meta", SaveMode.Overwrite)
+      return
+    }
+
+    val alive = aliveRows(spark, store, buckets, asOf)
+    val numPartitions = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val merged = IndexBuild.encodeSortedRows(
+      alive
+        .repartition(numPartitions, col("term"), col("shard"))
+        .sortWithinPartitions("term", "shard", "doc_id"),
+      cfg.buckets)
+
+    // overwrite ONLY the touched partitions; a bucket whose postings all
+    // died produces no rows — dynamic overwrite won't touch it, so its
+    // stale partition dir is dropped explicitly
+    store.overwritePartitions(merged.toDF, "index", Seq("bucket"))
+    val aliveBuckets = alive
+      .select(IndexBuild.termBucketCol(cfg.buckets).as("bucket"))
+      .distinct().as[Int].collect().toSet
+    (buckets.toSet -- aliveBuckets).foreach(b => store.drop(s"index/bucket=$b"))
+    store.write(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
+      "index_meta", SaveMode.Overwrite)
+    // spent tombstones: every batch ≤ maxBatch is folded in now; rows at
+    // or below it can never kill anything again (base postings re-read as
+    // batch = maxBatch). Bounds tombstone growth under sustained ingest.
+    store.readOpt("tombstones").foreach { t =>
+      store.replace(t.filter(col("as_of_batch") > maxBatch), "tombstones")
+    }
+  }
+
+  /** LEGACY full sort-merge: base index + every delta batch with equality
+    * deletes applied, then the derived aggregates rebuilt from scratch —
+    * the path for indexes predating the forward doc_terms table or the
+    * partitioned dim layout (their rewrite also upgrades lemma_stats to
+    * the bucket-partitioned layout). Current indexes take the O(touched)
+    * `compactTouched` path instead. */
+  def mergeWithTombstones(spark: SparkSession, outDir: String,
+      cfg: IndexBuild.Config): Unit = {
+    import spark.implicits._
+    val store = TableStore.open(spark, outDir)
+    val asOf = indexAsOf(spark, outDir)
+    val maxBatch = nextBatch(spark, outDir) - 1
+
+    // all buckets — full merge
+    val allBuckets = store.read("index").select("bucket").distinct()
+      .as[Int].collect().toSeq ++
+      store.readOpt("segments").map(_.filter(col("batch") > asOf)
+        .select("bucket").distinct().as[Int].collect().toSeq).getOrElse(Nil)
+    val alive = aliveRows(spark, store, allBuckets.distinct, asOf)
 
     val numPartitions = math.max(
       spark.sessionState.conf.numShufflePartitions,
@@ -251,17 +532,21 @@ object Refresh {
       "index_meta", SaveMode.Overwrite)
 
     // derived aggregates from the SAME alive rows (exact df for the 80%
-    // pruning rule) — no second decode of the merged index
+    // pruning rule) — no second decode of the merged index; written in
+    // the bucket-partitioned layout (part of the legacy upgrade)
     val docsDim = store.read("docs")
     store.replace(
       alive.join(docsDim.select("doc_id", "site"), Seq("doc_id"))
-        .groupBy("term", "site").agg(count(lit(1)).as("df")),
-      "lemma_stats")
+        .groupBy("term", "site").agg(count(lit(1)).as("df"))
+        .withColumn("bucket", IndexBuild.termBucketCol(cfg.buckets)),
+      "lemma_stats", partitionBy = Seq("bucket"))
     rebuildStats(spark, store, docsDim, cfg)
   }
 
   /** corpus-level stats (N, avgdl) from the docs dim — exact after any
-    * refresh/delete because docs is replaced latest-version-wins. */
+    * refresh/delete because docs is replaced latest-version-wins. Used
+    * only by the legacy full-merge path; the incremental paths adjust
+    * stats from the delta instead. */
   private def rebuildStats(spark: SparkSession, store: TableStore,
       docsDim: DataFrame, cfg: IndexBuild.Config): Unit = {
     val prevStats = store.read("stats").collect()(0)
@@ -280,105 +565,4 @@ object Refresh {
         .withColumn("buckets", lit(carried("buckets", cfg.buckets))),
       "stats")
   }
-
-  /** BUCKET-PRUNED compaction — the O(touched), not O(corpus), refresh
-    * path. `touchedTerms` (old ∪ new term sets of the refreshed/deleted
-    * docs, from the forward doc_terms table) names every term-bucket
-    * that can possibly hold an affected posting; only those partitions
-    * are decoded, tombstone-filtered, re-encoded and overwritten —
-    * untouched bucket partitions keep their files byte-identical.
-    *
-    * Granularity note: pruning is per storage partition (`bucket`), so
-    * its selectivity is buckets ÷ distinct-terms-per-doc — production
-    * sizes `buckets` with the corpus (thousands of partitions at 10^12
-    * docs, like Iceberg partition counts), making a one-page refresh
-    * touch a few permille of the index. The in-sandbox default of 16
-    * exists only to keep tiny test indexes from fragmenting.
-    *
-    * Derived aggregates stay EXACT: lemma_stats rows for touched terms
-    * are recomputed from the rewritten buckets' alive postings and
-    * spliced against the untouched rows; stats rebuild from the docs
-    * dim. Crash recovery: tombstones and delta batches are retained, so
-    * re-running the refresh (or a full mergeWithTombstones) after a
-    * crash mid-overwrite converges to the same state — the Iceberg
-    * production mapping makes the partition overwrite a single atomic
-    * commit instead. */
-  def compactTouched(spark: SparkSession, outDir: String,
-      cfg: IndexBuild.Config, touchedTerms: DataFrame): Unit = {
-    import spark.implicits._
-    val store = TableStore.open(spark, outDir)
-    val asOf = indexAsOf(spark, outDir)
-    val maxBatch = nextBatch(spark, outDir) - 1
-
-    val buckets: Seq[Int] = touchedTerms
-      .select(pmod(xxhash64(col("term")), lit(cfg.buckets)).cast("int").as("bucket"))
-      .distinct().as[Int].collect().toSeq
-    if (buckets.isEmpty) { // nothing indexed was touched (empty page)
-      store.write(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
-        "index_meta", SaveMode.Overwrite)
-      rebuildStats(spark, store, store.read("docs"), cfg)
-      return
-    }
-
-    val tombDf = store.readOpt("tombstones")
-      .map(_.groupBy("doc_id").agg(max("as_of_batch").as("tomb_batch")))
-      .getOrElse(Seq.empty[(Long, Int)].toDF("doc_id", "tomb_batch"))
-
-    val base = store.read("index")
-      .filter(col("bucket").isin(buckets: _*))
-      .select(lit(asOf).as("batch"), col("term"), col("shard"), col("postings"))
-    val deltas = store.readOpt("segments")
-      .map(_.filter(col("batch") > asOf && col("bucket").isin(buckets: _*))
-        .select(col("batch"), col("term"), col("shard"), col("postings")))
-      .getOrElse(base.limit(0))
-
-    val exploded = base.union(deltas)
-      .as[(Int, String, Int, Array[Byte])]
-      .flatMap { case (batch, term, shard, bytes) =>
-        PostingCodec.decode(bytes).iterator.map(p =>
-          (batch, term, shard, p.docId, p.tf, p.dl))
-      }
-      .toDF("batch", "term", "shard", "doc_id", "tf", "dl")
-    // lineage-cut snapshot: alive feeds the lemma_stats recompute AFTER
-    // the index partitions it was derived from are overwritten
-    val alive = exploded
-      .join(tombDf, Seq("doc_id"), "left")
-      .filter(col("tomb_batch").isNull || col("tomb_batch") <= col("batch"))
-      .select("term", "shard", "doc_id", "tf", "dl")
-      .localCheckpoint(true)
-
-    val numPartitions = math.max(
-      spark.sessionState.conf.numShufflePartitions,
-      spark.sparkContext.defaultParallelism)
-    val merged = IndexBuild.encodeSortedRows(
-      alive
-        .repartition(numPartitions, col("term"), col("shard"))
-        .sortWithinPartitions("term", "shard", "doc_id"),
-      cfg.buckets)
-
-    // overwrite ONLY the touched partitions; a bucket whose postings all
-    // died produces no rows — dynamic overwrite won't touch it, so its
-    // stale partition dir is dropped explicitly
-    store.overwritePartitions(merged.toDF, "index", Seq("bucket"))
-    val aliveBuckets = alive
-      .select(pmod(xxhash64(col("term")), lit(cfg.buckets)).cast("int").as("bucket"))
-      .distinct().as[Int].collect().toSet
-    (buckets.toSet -- aliveBuckets).foreach(b => store.drop(s"index/bucket=$b"))
-    store.write(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
-      "index_meta", SaveMode.Overwrite)
-
-    // lemma_stats: recompute rows of TOUCHED terms from the alive rows,
-    // keep every other row as-is (exact df for pruning/ordering)
-    val docsDim = store.read("docs")
-    val recomputed = alive
-      .join(touchedTerms, Seq("term"), "leftsemi")
-      .join(docsDim.select("doc_id", "site"), Seq("doc_id"))
-      .groupBy("term", "site").agg(count(lit(1)).as("df"))
-    val untouchedRows = store.read("lemma_stats")
-      .join(touchedTerms, Seq("term"), "left_anti")
-    store.replace(untouchedRows.unionByName(recomputed), "lemma_stats")
-
-    rebuildStats(spark, store, docsDim, cfg)
-  }
-
 }

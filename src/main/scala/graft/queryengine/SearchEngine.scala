@@ -64,19 +64,59 @@ final class SearchEngine(
       nDocs: Long, avgdl: Double, shards: Int, siteGroups: Int,
       buckets: Int,
       docsDf: DataFrame, lemmaStatsDf: DataFrame, segmentsDf: DataFrame,
-      headTerms: Set[String], docCountBySite: Map[String, Long])
+      headTerms: Set[String])
 
   private def fingerprint(): Long =
     store.fingerprint(Seq("index_meta", "docs", "lemma_stats"))
+
+  /** Cache budget for the merged index: within it the index is `.cache`d
+    * at load (in-sandbox it always fits); past it — or under
+    * SPARK_GRAFT_NO_INDEX_CACHE — queries read uncached parquet with
+    * bucket partition pruning + executor page cache, the 100 TB shape
+    * (the same gate pattern as the head-term prefetch). */
+  private val indexCacheLimit: Long =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE_BYTES",
+      (8L * 1024 * 1024 * 1024).toString).toLong
 
   private def load(): IndexState = {
     val stats = store.read("stats").collect()(0)
     val docsDf = store.read("docs").cache()
     val lemmaStatsDf = store.read("lemma_stats").cache()
-    // Warm-engine cache of the merged index. In-sandbox the whole index
-    // fits in memory; on a 100 TB corpus this would be uncached parquet
-    // reads with bucket partition pruning + executor page cache instead.
-    val segmentsDf = store.read("index").cache()
+    val buckets =
+      try stats.getAs[Int]("buckets") catch { case _: Exception => IndexBuild.Config().buckets }
+    // Delta-overlay read path (deferred compaction, Refresh/IndexStream
+    // `compact = false`): when delta batches are pending beyond the
+    // index's as_of, the touched buckets are rebuilt IN MEMORY at load —
+    // the same decode → tombstone-filter → re-encode pass compaction runs,
+    // materialized once (localCheckpoint inside aliveRows) instead of
+    // written — and unioned with the untouched base buckets. Queries see
+    // every committed refresh immediately; the physical rewrite happens
+    // once per compaction interval.
+    val asOf =
+      if (store.exists("index_meta"))
+        store.read("index_meta").collect()(0).getAs[Int]("as_of_batch")
+      else 0
+    val pending = graft.index.Refresh.pendingTouchedBuckets(spark, store, asOf)
+    val segCols = Seq("bucket", "term", "shard", "part_id", "doc_count",
+      "block_max", "postings").map(col)
+    val baseSegs = store.read("index")
+    val segmentsPlan =
+      if (pending.isEmpty) baseSegs
+      else {
+        val alive = graft.index.Refresh.aliveRows(spark, store, pending, asOf)
+        val np = math.max(spark.sessionState.conf.numShufflePartitions,
+          spark.sparkContext.defaultParallelism)
+        val rebuilt = IndexBuild.encodeSortedRows(
+          alive.repartition(np, col("term"), col("shard"))
+            .sortWithinPartitions("term", "shard", "doc_id"),
+          buckets).toDF
+        baseSegs.filter(!col("bucket").isin(pending: _*)).select(segCols: _*)
+          .unionByName(rebuilt.select(segCols: _*))
+      }
+    val cacheIndex = !sys.env.contains("SPARK_GRAFT_NO_INDEX_CACHE") &&
+      (try store.sizeInBytes("index") <= indexCacheLimit
+      catch { case scala.util.control.NonFatal(_) => true })
+    val segmentsDf = if (cacheIndex) segmentsPlan.cache() else segmentsPlan
     val headTerms: Set[String] =
       try store.read("head_terms").as[String].collect().toSet
       catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
@@ -87,11 +127,9 @@ final class SearchEngine(
       // 0 = index predates site-routed sharding → scoped pruning disabled
       siteGroups = try stats.getAs[Int]("site_groups") catch { case _: Exception => 0 },
       // older indexes predate the column → build-default bucket count
-      buckets = try stats.getAs[Int]("buckets") catch { case _: Exception => IndexBuild.Config().buckets },
+      buckets = buckets,
       docsDf = docsDf, lemmaStatsDf = lemmaStatsDf, segmentsDf = segmentsDf,
-      headTerms = headTerms,
-      docCountBySite =
-        docsDf.groupBy("site").count().as[(String, Long)].collect().toMap)
+      headTerms = headTerms)
   }
 
   private var state: IndexState = load()
@@ -108,6 +146,7 @@ final class SearchEngine(
       state.lemmaStatsDf.unpersist()
       state.segmentsDf.unpersist()
       dfCache.clear()
+      siteCountCache.clear()
       postingCache.clear()
       lastQuery = ""
       lastRanked = Seq.empty
@@ -170,7 +209,17 @@ final class SearchEngine(
   private def lemmaStatsDf: DataFrame = state.lemmaStatsDf
   private def segmentsDf: DataFrame = state.segmentsDf
   private def headTerms: Set[String] = state.headTerms
-  private def docCountBySite: Map[String, Long] = state.docCountBySite
+
+  // Scoped page count, one point-aggregation per site on first use —
+  // cached like the df cache, cleared on reload. (The previous design
+  // collected docs.groupBy(site).count() into a driver Map at every
+  // load: unbounded driver memory on a Common-Crawl-scale site universe
+  // and an O(corpus) job per reload; the per-site count is only ever
+  // read by scoped queries, which name their site.)
+  private val siteCountCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private def docCountOfSite(s: String): Long =
+    siteCountCache.getOrElseUpdate(s,
+      docsDf.filter(col("site") === s).count())
 
   // Driver-side term-stats cache (valid for one index fingerprint —
   // cleared on reload). Saves one Spark job per repeated query term —
@@ -224,7 +273,7 @@ final class SearchEngine(
   private def globalDf(terms: Seq[String]): Map[String, Long] = {
     val misses = terms.filterNot(dfCache.contains)
     if (misses.nonEmpty) {
-      val fetched = lemmaStatsDf
+      val fetched = lemmaStatsPruned(misses)
         .filter(col("term").isin(misses: _*))
         .groupBy("term").agg(sum("df").as("df"))
         .as[(String, Long)].collect().toMap
@@ -232,6 +281,14 @@ final class SearchEngine(
     }
     terms.map(t => t -> dfCache(t)).toMap
   }
+
+  /** lemma_stats restricted to the terms' storage buckets — partition
+    * pruning for the point lookups (the table is bucket-partitioned by
+    * term since round 4; older indexes lack the column and scan flat). */
+  private def lemmaStatsPruned(terms: Seq[String]): DataFrame =
+    if (!lemmaStatsDf.columns.contains("bucket")) lemmaStatsDf
+    else lemmaStatsDf.filter(col("bucket")
+      .isin(terms.map(IndexBuild.termBucket(_, bucketCount)).distinct: _*))
 
   // Reference query-result cache: previous query's full ranked result is
   // reused when the SAME query paginates with offset != 0
@@ -275,7 +332,7 @@ final class SearchEngine(
     //    (SearchServiceImpl.java:354-361)
     val dfMap: Map[String, Long] = site match {
       case None => globalDf(qLemmas)
-      case Some(s) => lemmaStatsDf.filter(col("site") === s)
+      case Some(s) => lemmaStatsPruned(qLemmas).filter(col("site") === s)
         .filter(col("term").isin(qLemmas: _*))
         .groupBy("term").agg(sum("df").as("df"))
         .as[(String, Long)].collect().toMap
@@ -283,7 +340,7 @@ final class SearchEngine(
 
     // 3. 80% stop-lemma pruning against the scoped page count
     //    (SearchServiceImpl.java:66, 329-344)
-    val pageCount = site.fold(nDocs)(s => docCountBySite.getOrElse(s, 0L))
+    val pageCount = site.fold(nDocs)(docCountOfSite)
     val surviving = qLemmas.filter { t =>
       pageCount > 0 && dfMap.getOrElse(t, 0L).toDouble / pageCount * 100.0 <= 80.0
     }

@@ -167,11 +167,26 @@ final class ParquetStore(val spark: SparkSession, val root: String)
       f.listStatus(new Path(staged)).foreach { st =>
         val n = st.getPath.getName
         if (!n.startsWith("_") && !n.startsWith(".")) {
-          f.rename(st.getPath, new Path(s"$path/app-$stamp-$n"))
-          ()
+          // a false rename here would silently drop this append's rows —
+          // fail LOUDLY instead (the caller retries or surfaces the error)
+          require(f.rename(st.getPath, new Path(s"$path/app-$stamp-$n")),
+            s"append to $path: rename of ${st.getPath} failed")
         }
       }
       f.delete(new Path(staged), true)
+      // GC staging garbage: a crash between the staged write and the
+      // final delete leaves an orphaned `.__append-<stamp>` sibling that
+      // recover() (which converges only .__new/.__old) never touches.
+      // The NEXT append sweeps siblings older than an hour — the age
+      // guard keeps a concurrent in-flight append's live staging safe.
+      val parent = new Path(path).getParent
+      val prefix = new Path(path).getName + ".__append-"
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      try f.listStatus(parent)
+        .filter(st => st.getPath.getName.startsWith(prefix) &&
+          st.getModificationTime < cutoff)
+        .foreach(st => f.delete(st.getPath, true))
+      catch { case _: java.io.IOException => () } // GC is best-effort
       ()
     } else {
       // Overwrite deletes the dir (and its `_version`) — carry the

@@ -63,7 +63,8 @@ object IndexStream {
     * copies would otherwise land in one delta batch, where
     * latest-batch-wins cannot order them. */
   def ingestBatch(spark: SparkSession, indexDir: String,
-      batch: Dataset[PageRow], cfg: IndexBuild.Config): Unit = {
+      batch: Dataset[PageRow], cfg: IndexBuild.Config,
+      compactEvery: Int = 1): Unit = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.expressions.Window
     if (batch.isEmpty) return // empty trigger — nothing to commit
@@ -74,10 +75,36 @@ object IndexStream {
       .filter(col("__rn") === 1)
       .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
       .as[PageRow](Encoders.product[PageRow])
-    if (!TableStore.open(spark, indexDir).exists("docs")) {
+    val store = TableStore.open(spark, indexDir)
+    // Bootstrap gate = the ACTUAL commit point (`index_meta`, written
+    // strictly after docs/dims + index + lineage are durable), NOT the
+    // docs table: docs lands from a background future well before the
+    // build commits, so a crash inside the first micro-batch used to
+    // leave docs present and route the checkpointed replay into the
+    // refresh path, which then failed forever reading the missing index
+    // (at-least-once convergence broken for the bootstrap batch).
+    if (!store.exists("index_meta")) {
+      // a HALF-WRITTEN bootstrap (crash between the first table write
+      // and the index_meta commit) is dropped wholesale before re-running
+      // — no refresh ever committed (no index_meta), so every engine
+      // table is this batch's own partial output. The stream checkpoint
+      // (underscore-prefixed) is not a table and is never touched.
+      Seq("docs", "doc_terms", "lemma_stats", "stats", "head_terms",
+        "site_status", "lineage", "index", "index_meta", "segments",
+        "tombstones", "touched_log").foreach(store.drop)
       IndexBuild.run(spark, latest, indexDir, cfg.copy(nBatches = 1))
       IndexBuild.mergeSegments(spark, indexDir)
-    } else Refresh.refreshPages(spark, indexDir, latest, cfg)
+    } else {
+      // AMORTIZED compaction: dims are maintained O(touched) every batch,
+      // but the index-bucket rewrite (decode+re-encode of every touched
+      // bucket) runs only once per `compactEvery` micro-batches — pending
+      // delta batches stay queryable through the engine's delta-overlay
+      // read path, and the deferral counter is derived from the store
+      // (lineage high-water vs index_meta), so it survives restarts.
+      val compact = compactEvery <= 1 ||
+        Refresh.pendingBatches(spark, indexDir) + 1 >= compactEvery
+      Refresh.refreshPages(spark, indexDir, latest, cfg, compact = compact)
+    }
   }
 
   /** Start the ingest stream. The checkpoint lives INSIDE the index dir
@@ -86,7 +113,8 @@ object IndexStream {
   def run(spark: SparkSession, pagesDir: String, indexDir: String,
       cfg: IndexBuild.Config = IndexBuild.Config(),
       maxFilesPerTrigger: Int = 0,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      compactEvery: Int = 1): StreamingQuery = {
     import org.apache.spark.sql.Encoders
     val pages = readPages(spark, pagesDir, maxFilesPerTrigger)
     pages.writeStream
@@ -97,7 +125,7 @@ object IndexStream {
         ingestBatch(spark, indexDir,
           batch.select(col("url"), col("warc_ts"), col("html"),
             col("text"), col("lang")).as[PageRow](Encoders.product[PageRow]),
-          cfg)
+          cfg, compactEvery)
       }
       .start()
   }
