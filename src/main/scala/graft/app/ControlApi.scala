@@ -70,7 +70,9 @@ final class ControlApi(
     store.dropMarker(IndexBuild.StopMarker)
     val t = new Thread(() => {
       try {
-        val pages = spark.read.parquet(pagesPath)
+        // corpus read through the store seam (iceberg-readiness: the
+        // pages corpus is itself a table; table "" = the store root)
+        val pages = TableStore.open(spark, pagesPath).read("")
           .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
         IndexBuild.run(spark, pages, indexDir, cfg, clearStopMarker = false)
         IndexBuild.mergeSegments(spark, indexDir)

@@ -42,7 +42,8 @@ object GraftCli {
           case aw :: Nil => CorpusGen.Config(nSites.toInt, perSite.toInt, avgWords = aw.toInt)
           case _ => CorpusGen.Config(nSites.toInt, perSite.toInt)
         }
-        CorpusGen.generate(spark, cfg).write.mode("overwrite").parquet(out)
+        graft.store.TableStore.open(spark, out)
+          .replace(CorpusGen.generate(spark, cfg).toDF, "")
         println(s"wrote ${cfg.nDocs} pages to $out")
 
       case "build" :: pagesDir :: indexDir :: rest =>
@@ -50,7 +51,8 @@ object GraftCli {
           case n :: Nil => IndexBuild.Config(nBatches = n.toInt)
           case _ => IndexBuild.Config()
         }
-        val pages = spark.read.parquet(pagesDir).as[PageRow](Encoders.product[PageRow])
+        val pages = graft.store.TableStore.open(spark, pagesDir)
+          .read("").as[PageRow](Encoders.product[PageRow])
         val t0 = System.nanoTime()
         val built = IndexBuild.run(spark, pages, indexDir, cfg)
         IndexBuild.mergeSegments(spark, indexDir)
@@ -66,7 +68,8 @@ object GraftCli {
       case "refresh" :: pagesDir :: indexDir :: url :: Nil =>
         // re-index one page from the (updated) pages table — §3.3 indexPage
         import org.apache.spark.sql.functions.col
-        val one = spark.read.parquet(pagesDir).filter(col("url") === url)
+        val one = graft.store.TableStore.open(spark, pagesDir)
+          .read("").filter(col("url") === url)
           .as[PageRow](Encoders.product[PageRow])
         require(one.count() == 1, s"url not found in $pagesDir: $url")
         graft.index.Refresh.refreshPages(spark, indexDir, one)
@@ -107,7 +110,7 @@ object GraftCli {
         // in Spark before collecting (a row cap would wrongly reject
         // urls of sites that first appear late in a large corpus)
         import org.apache.spark.sql.functions.col
-        val sites = spark.read.parquet(pagesDir)
+        val sites = graft.store.TableStore.open(spark, pagesDir).read("")
           .select(col("url")).as[String](Encoders.STRING)
           .map(u => "https://" + IndexBuild.siteOf(u))(Encoders.STRING)
           .distinct().collect().toSeq

@@ -25,12 +25,14 @@ object DocOps {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
+  // input tables through the store seam (iceberg-readiness: swap the
+  // store implementation and these become catalog tables)
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.store.TableStore.open(spark, dir).read("documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.store.TableStore.open(spark, dir).read("embeddings.parquet")
   def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.store.TableStore.open(spark, dir).read("events.parquet")
 
   /** doc_id → tokens (F2/F4 Latin mode; one row per occurrence). */
   def tokens(docs: DataFrame): DataFrame =

@@ -78,6 +78,14 @@ final class SearchEngine(
     sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE_BYTES",
       (8L * 1024 * 1024 * 1024).toString).toLong
 
+  /** Flag gate readable from the session conf as well as the process env
+    * (`spark.graft.noIndexCache` ⇔ SPARK_GRAFT_NO_INDEX_CACHE): spark-conf
+    * is the spark-submit-native spelling AND makes the gate exercisable
+    * in-process by tests (the JVM env is immutable). */
+  private def flagSet(confKey: String, envKey: String): Boolean =
+    spark.conf.getOption(confKey).exists(v => v != "false") ||
+      sys.env.contains(envKey)
+
   private def load(): IndexState = {
     val stats = store.read("stats").collect()(0)
     val docsDf = store.read("docs").cache()
@@ -113,7 +121,7 @@ final class SearchEngine(
         baseSegs.filter(!col("bucket").isin(pending: _*)).select(segCols: _*)
           .unionByName(rebuilt.select(segCols: _*))
       }
-    val cacheIndex = !sys.env.contains("SPARK_GRAFT_NO_INDEX_CACHE") &&
+    val cacheIndex = !flagSet("spark.graft.noIndexCache", "SPARK_GRAFT_NO_INDEX_CACHE") &&
       (try store.sizeInBytes("index") <= indexCacheLimit
       catch { case scala.util.control.NonFatal(_) => true })
     val segmentsDf = if (cacheIndex) segmentsPlan.cache() else segmentsPlan
@@ -170,36 +178,79 @@ final class SearchEngine(
     * largest prefix of terms that fits the cache budget, so the driver
     * never collects more than it can cache — at full scale a single
     * mega-term's segments can exceed the whole budget and must stay on
-    * the distributed path. Three load-time jobs total. Disable:
-    * SPARK_GRAFT_NO_PREFETCH. */
+    * the distributed path. After the heads, the REMAINING budget is
+    * filled with the next-hottest MID terms by global df (a bounded
+    * TakeOrdered over lemma_stats — cold-query tails are dominated by
+    * high-df terms, so this is the principled generalization of "prefetch
+    * what cold queries will touch", not a fixture-specific tune). About
+    * five load-time jobs total. Disable: SPARK_GRAFT_NO_PREFETCH;
+    * mid-term width: SPARK_GRAFT_PREFETCH_MID_TERMS (0 disables). */
   private def prefetchHot(): Unit =
-    if (!sys.env.contains("SPARK_GRAFT_NO_PREFETCH") && headTerms.nonEmpty) {
+    if (!flagSet("spark.graft.noPrefetch", "SPARK_GRAFT_NO_PREFETCH") && headTerms.nonEmpty) {
       val hs = headTerms.toSeq.sorted
       globalDf(hs) // df warm: one aggregation job
-      val hotBuckets = hs.map(IndexBuild.termBucket(_, bucketCount)).distinct
-      val hotSegs = segmentsDf
-        .filter(col("bucket").isin(hotBuckets: _*) && col("term").isin(hs: _*))
-      val sizes = hotSegs
-        .groupBy("term").agg(sum(length(col("postings"))).as("bytes"))
-        .as[(String, Long)].collect().sortBy(_._2)
-      var budget = postingCache.budget
-      val chosen = sizes.takeWhile { case (_, b) =>
-        budget -= b; budget >= 0
-      }.map(_._1)
-      if (chosen.nonEmpty) {
-        val rows = hotSegs
-          .filter(col("term").isin(chosen: _*))
-          .select("term", "shard", "postings")
-          .as[(String, Int, Array[Byte])].collect().toSeq
-        rows.groupBy(_._1).foreach { case (t, rs) =>
-          postingCache.put(t, rs.map(r => (r._2, r._3)))
+
+      /** Fetch the given terms' segments into the posting cache, largest
+        * prefix (by ascending size) that fits `budget`; terms with no
+        * segment rows cache as empty iff `cacheAbsent`. Returns the bytes
+        * actually consumed. */
+      def fetchInto(terms: Seq[String], budget: Long, cacheAbsent: Boolean): Long = {
+        if (terms.isEmpty || budget <= 0) return 0L
+        val buckets = terms.map(IndexBuild.termBucket(_, bucketCount)).distinct
+        val segs = segmentsDf
+          .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+        val sizes = segs
+          .groupBy("term").agg(sum(length(col("postings"))).as("bytes"))
+          .as[(String, Long)].collect().sortBy(_._2)
+        var left = budget
+        val chosen = sizes.takeWhile { case (_, b) =>
+          left -= b; left >= 0
         }
+        if (chosen.nonEmpty) {
+          val cs = chosen.map(_._1)
+          val rows = segs
+            .filter(col("term").isin(cs: _*))
+            .select("term", "shard", "postings")
+            .as[(String, Int, Array[Byte])].collect().toSeq
+          rows.groupBy(_._1).foreach { case (t, rs) =>
+            postingCache.put(t, rs.map(r => (r._2, r._3)))
+          }
+        }
+        if (cacheAbsent) {
+          val present = sizes.map(_._1).toSet
+          terms.filterNot(present.contains)
+            .foreach(t => postingCache.put(t, Seq.empty))
+        }
+        chosen.map(_._2).sum
       }
-      // heads with NO segment rows (all postings deleted) cache as empty
-      val present = sizes.map(_._1).toSet
-      hs.filterNot(present.contains)
-        .foreach(t => postingCache.put(t, Seq.empty))
+
+      // heads first (absent heads — all postings deleted — cache empty)
+      val usedByHeads = fetchInto(hs, postingCache.budget, cacheAbsent = true)
+
+      // mid-term extension: next-hottest terms by global df, bounded
+      // width, into whatever prefetch budget the heads left over
+      val midN = sys.env.getOrElse("SPARK_GRAFT_PREFETCH_MID_TERMS", "256").toInt
+      val budgetLeft = postingCache.budget - usedByHeads
+      if (midN > 0 && budgetLeft > (1L << 20)) {
+        val mids = lemmaStatsDf
+          .groupBy("term").agg(sum("df").as("df"))
+          .filter(!col("term").isin(hs: _*))
+          .orderBy(col("df").desc, col("term"))
+          .limit(midN)
+          .as[(String, Long)].collect()
+        // their global dfs are already in hand — warm the df cache too
+        mids.foreach { case (t, d) =>
+          if (!dfCache.contains(t)) dfCache.update(t, d)
+        }
+        fetchInto(mids.map(_._1).toSeq, budgetLeft, cacheAbsent = false)
+        ()
+      }
     }
+
+  /** Whether the merged index plan is marked for caching (test hook for
+    * the `spark.graft.noIndexCache` / size gate). */
+  private[graft] def indexCached: Boolean =
+    state.segmentsDf.storageLevel != org.apache.spark.storage.StorageLevel.NONE
 
   def nDocs: Long = state.nDocs
   def avgdl: Double = state.avgdl

@@ -265,6 +265,38 @@ class EngineSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[String]("status") == "INDEXED"))
   }
 
+  test("index-cache gate: spark.graft.noIndexCache serves rank-identical results through the uncached read path") {
+    built
+    // distinct physical copy of the index: the shared-session CacheManager
+    // matches by plan, so an engine over the ORIGINAL path could silently
+    // serve another engine's cached data even with the gate on
+    val copyRoot = Files.createTempDirectory("graft-nocache").toString
+    val copy = s"$copyRoot/idx"
+    import java.nio.file.{Path => JPath, Paths, StandardCopyOption}
+    val src = Paths.get(indexDir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p: JPath =>
+      val dst = Paths.get(copy).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    spark.conf.set("spark.graft.noIndexCache", "true")
+    try {
+      val uncached = new SearchEngine(spark, copy, pagesPath, Bm25())
+      assert(!uncached.indexCached, "gate on: the index plan must not be cache-marked")
+      for ((q, site) <- queries.take(4)) {
+        val exp = engineBm.search(q, 0, 20, site)
+        val got = uncached.search(q, 0, 20, site)
+        assert(got.count == exp.count, s"count mismatch uncached vs cached for '$q'")
+        assert(got.data.map(i => (i.site + i.uri, i.relevance)) ==
+          exp.data.map(i => (i.site + i.uri, i.relevance)),
+          s"uncached read path must be rank- and score-identical for '$q'")
+      }
+    } finally spark.conf.unset("spark.graft.noIndexCache")
+    // and the default (in-budget) path really does cache
+    assert(engineBm.indexCached, "default path must cache the in-budget index")
+  }
+
   test("prefetch: first-ever head-term query on a fresh engine runs ZERO Spark jobs") {
     built
     val heads = spark.read.parquet(s"$indexDir/head_terms")

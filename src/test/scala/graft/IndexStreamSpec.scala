@@ -108,4 +108,96 @@ class IndexStreamSpec extends AnyFunSuite {
         "refresh micro-batches must commit lineage rows with real metrics")
     } finally q.stop()
   }
+
+  test("bootstrap replay after a crash mid-first-batch: half-written tables are dropped, the build re-runs (ADVICE r03)") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-stream-crash").toString
+    val idx = s"$work/idx"
+    val cfg = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, buckets = 16)
+
+    // simulate the crash window: docs (written by a background future
+    // during the build) is present, but the commit point (index_meta) is
+    // not — the round-3 gate keyed on docs and wedged here forever
+    val base = CorpusGen.generate(spark, CorpusGen.Config(2, 20)).collect().toSeq
+    Seq(("https://site0.test/p/partial", "junk", "s", "l", 1L))
+      .toDF("url", "x", "site", "lang", "dl")
+      .write.parquet(s"$idx/docs")
+    assert(!TableStore.open(spark, idx).exists("index_meta"))
+
+    // the checkpointed replay of the first micro-batch must bootstrap
+    IndexStream.ingestBatch(spark, idx, spark.createDataset(base), cfg)
+    val store = TableStore.open(spark, idx)
+    assert(store.exists("index_meta"), "bootstrap must reach its commit point")
+    assert(store.read("stats").collect()(0).getAs[Long]("n_docs") == base.size.toLong,
+      "the partial pre-crash docs table must not leak into the rebuilt index")
+    assert(!store.read("docs").columns.contains("x"),
+      "half-written bootstrap tables must be dropped wholesale")
+  }
+
+  test("amortized compaction (compactEvery=3): between compactions the index is NOT rewritten, queries overlay pending deltas") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-stream-amort").toString
+    val idx = s"$work/idx"
+    val cfg = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, buckets = 16)
+    val l = RuDict.contentLemmas
+
+    def indexFiles(): Map[String, Seq[Byte]] = {
+      val root = new java.io.File(s"$idx/index")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+        .toMap
+    }
+    def batchDs(ps: PageRow*) = spark.createDataset(ps.toSeq)
+
+    // batch 1: bootstrap
+    val base = CorpusGen.generate(spark, CorpusGen.Config(2, 30)).collect().toSeq
+    spark.createDataset(base).write.mode("append").parquet(s"$work/pages")
+    IndexStream.ingestBatch(spark, idx,
+      spark.createDataset(base), cfg, compactEvery = 3)
+    val store = TableStore.open(spark, idx)
+    val afterBoot = indexFiles()
+    assert(graft.index.Refresh.pendingBatches(spark, idx) == 0)
+
+    // batches 2 and 3: refreshes that must NOT rewrite the index —
+    // the amortization contract: bytes rewritten per non-compacting
+    // batch are bounded by the touched DIM buckets only (index: zero)
+    val mA = l(190); val mB = l(193)
+    val uA = "https://site0.test/p/amortA"
+    val uB = "https://site1.test/p/amortB"
+    val pA = page(uA, html("а", s"$mA ${RuDict.formsOf(mA)(1)} ${l(2)}"))
+    val pB = page(uB, html("б", s"$mB ${l(3)}"))
+    spark.createDataset(Seq(pA, pB)).write.mode("append").parquet(s"$work/pages")
+    IndexStream.ingestBatch(spark, idx, batchDs(pA), cfg, compactEvery = 3)
+    assert(indexFiles() == afterBoot,
+      "a non-compacting micro-batch must leave every index file byte-identical")
+    assert(graft.index.Refresh.pendingBatches(spark, idx) == 1)
+
+    // pending deltas are QUERYABLE now (engine delta overlay), and the
+    // dims were maintained: n_docs grew
+    val engine = new SearchEngine(spark, idx, s"$work/pages", ReferenceTfSum)
+    assert(engine.search(mA, 0, 10, None).data.exists(i => i.site + i.uri == uA),
+      "pending (uncompacted) delta batch must be visible to queries")
+    assert(store.read("stats").collect()(0).getAs[Long]("n_docs") == base.size + 1L)
+
+    IndexStream.ingestBatch(spark, idx, batchDs(pB), cfg, compactEvery = 3)
+    assert(indexFiles() == afterBoot,
+      "second non-compacting micro-batch must still not touch the index")
+    assert(graft.index.Refresh.pendingBatches(spark, idx) == 2)
+
+    // batch 4 triggers the deferred compaction: all pending batches fold
+    IndexStream.ingestBatch(spark, idx,
+      batchDs(page("https://site0.test/p/amortC", html("в", s"${l(7)} ${l(8)}"))),
+      cfg, compactEvery = 3)
+    assert(graft.index.Refresh.pendingBatches(spark, idx) == 0,
+      "the compactEvery-th batch must fold every pending delta")
+    assert(indexFiles() != afterBoot, "compaction must rewrite touched buckets")
+    // post-compaction: same results, now from the base index path
+    assert(engine.search(mA, 0, 10, None).data.exists(i => i.site + i.uri == uA))
+    assert(engine.search(mB, 0, 10, None).data.exists(i => i.site + i.uri == uB))
+  }
 }

@@ -212,6 +212,77 @@ class RefreshSpec extends AnyFunSuite {
     assert(engine.search(l(190), 0, 30, None).data.exists(i => i.site + i.uri == targetUrl))
   }
 
+  test("one-page refresh rewrites ONLY touched dim partitions: docs/doc_terms/lemma_stats stay byte-identical elsewhere") {
+    spark.sparkContext.setLogLevel("WARN")
+    val work = Files.createTempDirectory("graft-refresh-dims").toString
+    val cfgP = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, nBatches = 1, buckets = 256)
+    val pages = CorpusGen.generate(spark, CorpusGen.Config(2, 60)).collect().toSeq
+    import spark.implicits._
+    spark.createDataset(pages).write.mode("overwrite").parquet(s"$work/pages")
+    val ds = spark.read.parquet(s"$work/pages")
+      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    IndexBuild.run(spark, ds, s"$work/idx", cfgP)
+    IndexBuild.mergeSegments(spark, s"$work/idx")
+
+    def tableFiles(table: String): Map[String, Seq[Byte]] = {
+      val root = new java.io.File(s"$work/idx/$table")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+        .toMap
+    }
+    val dims = Seq("docs", "doc_terms", "lemma_stats")
+    val before = dims.map(t => t -> tableFiles(t)).toMap
+
+    import org.apache.spark.sql.functions.{col, explode}
+    val targetUrl = spark.read.parquet(s"$work/idx/docs")
+      .filter(col("dl") > 0).orderBy("url")
+      .select("url").as[String].head()
+    val targetId = IndexBuild.stableDocId(targetUrl)
+    val oldTerms = spark.read.parquet(s"$work/idx/doc_terms")
+      .filter(col("doc_id") === targetId)
+      .select(explode(col("terms"))).as[String].collect().toSet
+    assert(oldTerms.nonEmpty)
+    val l = RuDict.contentLemmas
+    val newPage = page(targetUrl, html(s"${l(190)}", s"${l(190)} ${l(191)} ${l(192)}"))
+    Refresh.refreshPages(spark, s"$work/idx", spark.createDataset(Seq(newPage)), cfgP)
+
+    // touched partitions: the target's doc bucket (docs/doc_terms) and
+    // the old∪new terms' buckets (lemma_stats)
+    val touchedDb = Set(IndexBuild.docBucketOf(targetId, cfgP.buckets))
+    val newTerms = graft.core.Lemmatizer.lemmaCountsFromHtml(newPage.html).keySet
+    val touchedTb = (oldTerms ++ newTerms).map(IndexBuild.termBucket(_, cfgP.buckets))
+    def partOf(p: String, key: String): Int =
+      s"$key=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt
+    for (t <- dims) {
+      val (key, touched) =
+        if (t == "lemma_stats") ("bucket", touchedTb) else ("db", touchedDb)
+      val after = tableFiles(t)
+      val untouchedParts = before(t).keySet.map(partOf(_, key)) -- touched
+      assert(untouchedParts.size >= 20, s"$t: fixture must leave many partitions untouched")
+      val beforeU = before(t).filter { case (p, _) => untouchedParts.contains(partOf(p, key)) }
+      val afterU = after.filter { case (p, _) => untouchedParts.contains(partOf(p, key)) }
+      assert(afterU.keySet == beforeU.keySet,
+        s"$t: untouched partitions must keep their exact file set")
+      beforeU.foreach { case (p, bytes) =>
+        assert(afterU(p) == bytes, s"$t: untouched file rewritten: $p")
+      }
+      // the touched partitions really were rewritten
+      assert(before(t).exists { case (p, b) =>
+        touched.contains(partOf(p, key)) && after.get(p).forall(_ != b)
+      }, s"$t: refresh must rewrite its touched partitions")
+    }
+    // stats were adjusted from the delta, not re-aggregated — verify exact
+    val st = spark.read.parquet(s"$work/idx/stats").collect()(0)
+    assert(st.getAs[Long]("n_docs") == pages.size.toLong)
+    val expectTokens = spark.read.parquet(s"$work/idx/docs")
+      .agg(org.apache.spark.sql.functions.sum(col("dl"))).as[Long].head()
+    assert(st.getAs[Long]("total_tokens") == expectTokens,
+      "incremental stats delta must equal a fresh aggregation")
+  }
+
   test("merge with a LARGE tombstone set stays rank-identical (distributed tombstone join)") {
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-refresh-big").toString

@@ -104,6 +104,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(got == (0L until n.toLong), s"expected all $n appended rows, got $got")
   }
 
+  test("append: a stale crashed staging dir is GC'd by the next append; a fresh one is left alone") {
+    val (store, root) = freshStore()
+    store.write(oneRow(1L), "t", org.apache.spark.sql.SaveMode.Append)
+    val f = fs
+    // simulate a crash between the staged write and the final delete:
+    // an orphaned sibling staging dir, old enough to be provably dead
+    val stale = new Path(s"$root/t.__append-deadbeef0000")
+    f.mkdirs(stale)
+    f.setTimes(stale, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    // and a FRESH one (a concurrent in-flight append) that must survive
+    val live = new Path(s"$root/t.__append-cafecafe0000")
+    f.mkdirs(live)
+    store.write(oneRow(2L), "t", org.apache.spark.sql.SaveMode.Append)
+    assert(!f.exists(stale), "stale append staging must be swept by the next append")
+    assert(f.exists(live), "a recent (possibly in-flight) staging dir must be kept")
+    import spark.implicits._
+    assert(store.read("t").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("fingerprint detects a same-length replace (monotonic _version, not mtime heuristics)") {
     val (store, _) = freshStore()
     store.write(oneRow(1L), "t", org.apache.spark.sql.SaveMode.Overwrite)
