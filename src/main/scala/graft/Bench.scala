@@ -495,12 +495,20 @@ object Bench {
         cleanWindowGate()
         val trialT0 = System.nanoTime()
         // per-build hard kill: a trial must never outlive the remaining
-        // budget (a contention window can slow one build 10x mid-trial)
+        // budget (a contention window can slow one build 10x mid-trial).
+        // Once ANY build of the trial is killed the trial is already
+        // failed — ABORT the rest immediately instead of burning the
+        // 60 s-floor kills through the latency reserve (observed: a
+        // killed hi1 left lo+hi2 eating 120 s of the tail reserve and
+        // the latency section got nothing).
         def buildKillS: Double = math.max(60.0, remainS - reserveS)
+        val dead = Measure(0.0, 1L, 0L)
         val ceilPre = cpuCeiling(pHigh)
         val hi1 = buildAt(pHigh, s"$work/t${t}_hi1", killAfterS = buildKillS)
-        val lo = buildAt(pLow, s"$work/t${t}_lo", killAfterS = buildKillS)
-        val hi2 = buildAt(pHigh, s"$work/t${t}_hi2", killAfterS = buildKillS)
+        val lo = if (hi1.tput <= 0) dead
+          else buildAt(pLow, s"$work/t${t}_lo", killAfterS = buildKillS)
+        val hi2 = if (hi1.tput <= 0 || lo.tput <= 0) dead
+          else buildAt(pHigh, s"$work/t${t}_hi2", killAfterS = buildKillS)
         val ceilPost = cpuCeiling(pHigh)
         val tr = Trial(ceilPre, ceilPost, lo, hi1, hi2)
         if (tr.ok) {
@@ -536,16 +544,24 @@ object Bench {
       val spark = newSession(cpus)
       try {
         var idxDir = lastHiIdx
-        val pagesDir = s"$work/pages"
+        // fallback corpus: the SMALLEST available — never the full
+        // bench corpus (400k docs untimed in a contention window is
+        // hours, in-process and unkillable; observed the near-miss).
+        // The gate's probe corpora are ideal if they exist.
+        var pagesDir = Seq(
+          s"$work/probe_pages_${math.max(3000, sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "15000").toInt / 3)}",
+          s"$work/probe_pages_${sys.env.getOrElse("SPARK_GRAFT_PROBE_DOCS", "15000")}")
+          .find(p => Files.exists(Paths.get(p)))
+          .getOrElse(s"$work/fallback_pages")
         if (idxDir.isEmpty && remainS > 150 &&
             !Files.exists(Paths.get(pagesDir))) {
-          // scaling never even generated the corpus — make a small one so
+          // scaling never even generated a corpus — make a small one so
           // the latency numbers still land (untimed, full parallelism)
           CorpusGen.generate(spark,
-            CorpusGen.Config(nSites = 2, pagesPerSite = 7500, avgWords = 400))
+            CorpusGen.Config(nSites = 2, pagesPerSite = 2500, avgWords = 400))
             .write.parquet(pagesDir)
         }
-        if (idxDir.isEmpty && remainS > 90 &&
+        if (idxDir.isEmpty && remainS > 120 &&
             Files.exists(Paths.get(pagesDir))) {
           System.err.println("[bench] no trial index available — building an untimed fallback for the latency section")
           idxDir = s"$work/fallback/idx"
@@ -554,7 +570,7 @@ object Bench {
               .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow]),
             idxDir, idxCfg)
           IndexBuild.mergeSegments(spark, idxDir)
-        }
+        } else if (idxDir.nonEmpty) pagesDir = s"$work/pages"
         if (idxDir.nonEmpty && Files.exists(Paths.get(idxDir))) {
           val engine = new SearchEngine(spark, idxDir, pagesDir, Bm25())
           val qs = BenchQueries.queries
