@@ -427,7 +427,14 @@ object Bench {
           // 150 docs/s is 100 s of pure gate overhead; 5k bounds it
           val small = lastRate < 0.8 * probeFloor
           val docs = if (small) probeSmallDocs else probeDocs
-          val probeKill = math.max(30.0, math.min(remainS - reserveS, 240.0))
+          // a probe that can't reach ~1/6 of the floor rate is contended
+          // by definition (the floor check would fail it anyway) — kill
+          // it there instead of at a flat 240 s, so a deep window costs
+          // ~30-60 s per probe, not 4 min, and the gate samples the host
+          // often enough to catch short clean windows
+          val probeKill = math.max(30.0,
+            math.min(remainS - reserveS,
+              if (probeFloor > 0) 6.0 * docs / probeFloor + 20.0 else 240.0))
           val m = buildAt(pHigh, s"$work/probe$probeN", s"$work/probe_pages_$docs",
             docs.toLong, warmup = false, killAfterS = probeKill)
           import scala.sys.process._
