@@ -332,6 +332,8 @@ object Bench {
     var trials = Vector.empty[Trial]
     var trialDurs = Vector.empty[Double]
     var lastHiIdx = "" // last successful high-parallelism index (latency section)
+    var lastHiPages = "" // the corpus that index was built from
+    var curDocs = benchDocs // may be reduced after deadline-killed trials
     var probeFloorUsed = 0.0
     var probeFloorDerived = 0.0
     var hostBurn1 = 0L
@@ -510,25 +512,52 @@ object Bench {
         // the latency section got nothing).
         def buildKillS: Double = math.max(60.0, remainS - reserveS)
         val dead = Measure(0.0, 1L, 0L)
+        val curPages =
+          if (curDocs == benchDocs) s"$work/pages" else s"$work/pages_$curDocs"
         val ceilPre = cpuCeiling(pHigh)
-        val hi1 = buildAt(pHigh, s"$work/t${t}_hi1", killAfterS = buildKillS)
+        val hi1 = buildAt(pHigh, s"$work/t${t}_hi1", curPages, curDocs,
+          killAfterS = buildKillS)
         val lo = if (hi1.tput <= 0) dead
-          else buildAt(pLow, s"$work/t${t}_lo", killAfterS = buildKillS)
+          else buildAt(pLow, s"$work/t${t}_lo", curPages, curDocs,
+            killAfterS = buildKillS)
         val hi2 = if (hi1.tput <= 0 || lo.tput <= 0) dead
-          else buildAt(pHigh, s"$work/t${t}_hi2", killAfterS = buildKillS)
+          else buildAt(pHigh, s"$work/t${t}_hi2", curPages, curDocs,
+            killAfterS = buildKillS)
         val ceilPost = cpuCeiling(pHigh)
         val tr = Trial(ceilPre, ceilPost, lo, hi1, hi2)
         if (tr.ok) {
           trials :+= tr
           trialDurs :+= (System.nanoTime() - trialT0) / 1e9
           lastHiIdx = s"$work/t${t}_hi2/idx"
+          lastHiPages = curPages
           System.err.println(f"[bench] trial $t: ceiling ${tr.ceiling}%.2fx, " +
             f"${lo.tput}%.0f → (${hi1.tput}%.0f|${hi2.tput}%.0f) docs/s, " +
             f"steal ${tr.maxSteal * 100}%.1f%%, eff ${tr.effRaw}%.3f raw / " +
             f"${tr.effCorr}%.3f steal-corr / ${tr.effVsCeiling}%.3f vs ceiling" +
             s"${if (tr.drifted) " [DRIFTED]" else ""}")
-        } else System.err.println(
-          s"[bench] trial $t FAILED (lo=${lo.tput} hi1=${hi1.tput} hi2=${hi2.tput}) — excluded")
+        } else {
+          System.err.println(
+            s"[bench] trial $t FAILED (lo=${lo.tput} hi1=${hi1.tput} hi2=${hi2.tput}) — excluded")
+          // REDUCED TIER: a deadline-killed build means the host can't
+          // finish a 400k-doc trial inside the budget. 100k is the
+          // smallest size whose fixed per-job overheads stay <5% of the
+          // slowest build, so the lo/hi ratio is still the job — a
+          // completed-but-contention-flagged trial with real numbers
+          // beats rc=0 with n_trials=0. Both levels of a trial always
+          // use the same corpus, so the ratio is unaffected.
+          if (curDocs > 100000) {
+            curDocs = 100000
+            val dir = s"$work/pages_$curDocs"
+            if (!Files.exists(Paths.get(dir))) {
+              val gs = newSession(cpus)
+              try CorpusGen.generate(gs,
+                CorpusGen.Config(nSites = 4, pagesPerSite = curDocs / 4, avgWords = 400))
+                .write.parquet(dir)
+              finally gs.stop()
+            }
+            System.err.println(s"[bench] builds were deadline-killed — reducing trial size to $curDocs docs")
+          }
+        }
         // bound tmpfs usage: drop this trial's hi1/lo outputs and the
         // PREVIOUS trial's hi2 (the current hi2 index feeds the latency
         // section below)
@@ -577,7 +606,8 @@ object Bench {
               .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow]),
             idxDir, idxCfg)
           IndexBuild.mergeSegments(spark, idxDir)
-        } else if (idxDir.nonEmpty) pagesDir = s"$work/pages"
+        } else if (idxDir.nonEmpty)
+          pagesDir = if (lastHiPages.nonEmpty) lastHiPages else s"$work/pages"
         if (idxDir.nonEmpty && Files.exists(Paths.get(idxDir))) {
           val engine = new SearchEngine(spark, idxDir, pagesDir, Bm25())
           val qs = BenchQueries.queries
@@ -629,7 +659,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errsJson = queryErrors.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"pinned":${!pinningDisabled},"n_trials":${trials.size},"n_stable_trials":$nStable,"stable_fallback":$stableFallback,"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs,"deadline_s":${f"$deadlineS%.0f"},"elapsed_s":${f"$elapsedS%.0f"},"deadline_hit":$deadlineHit,"probe_floor":${f"$probeFloorUsed%.0f"},"probe_floor_derived":${f"$probeFloorDerived%.0f"},"probe_floor_rebased":$floorAccepted,"host_burn_1t":$hostBurn1,"gate_probes":$gateProbes,"gate_slept_s":${f"$gateSleptS%.0f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"pinned":${!pinningDisabled},"n_trials":${trials.size},"n_stable_trials":$nStable,"stable_fallback":$stableFallback,"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs,"bench_docs_final":$curDocs,"deadline_s":${f"$deadlineS%.0f"},"elapsed_s":${f"$elapsedS%.0f"},"deadline_hit":$deadlineHit,"probe_floor":${f"$probeFloorUsed%.0f"},"probe_floor_derived":${f"$probeFloorDerived%.0f"},"probe_floor_rebased":$floorAccepted,"host_burn_1t":$hostBurn1,"gate_probes":$gateProbes,"gate_slept_s":${f"$gateSleptS%.0f"}}""")
 
     // BENCH/BASELINE.md per the measurement protocol in BASELINE.md
     val trialRows = trials.zipWithIndex.map { case (t, i) =>
@@ -710,6 +740,13 @@ object Bench {
          |
          |Per-query seconds: ${queryTimes.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${f"$v%.2f"}" }.mkString(", ")}
          |""".stripMargin)
+
+    // the work dir lives on tmpfs (RAM) — leaving a 1.4 GB corpus per
+    // run accumulates across the driver's repeated rounds
+    {
+      import scala.sys.process._
+      Seq("rm", "-rf", work).! : Unit
+    }
   }
 }
 
