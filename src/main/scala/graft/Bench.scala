@@ -413,7 +413,31 @@ object Bench {
       // trailing std-size probe history for the slow-host acceptance rule
       var recentStd = Vector.empty[Measure]
       def estTrialS: Double =
-        if (trialDurs.nonEmpty) trialDurs.max * 1.3 else 650.0
+        if (trialDurs.nonEmpty) trialDurs.max * 1.3
+        else math.max(250.0, 650.0 * curDocs / benchDocs)
+      // proactive size reduction: several consecutive DEAD probes (killed
+      // before producing any rate) mean the host cannot even build 5k
+      // docs inside its allowance — a 400k trial is hopeless, so switch
+      // to the 100k tier NOW, while there is still budget to run it
+      // (waiting for the budget-edge trial to fail first wastes the one
+      // shot the deadline leaves). The corpus is generated once, by the
+      // long-lived session (fresh-JVM spawn is what crawls in these
+      // windows; in-process generation stays comparatively fast).
+      var deadProbes = 0
+      def maybeReduce(): Unit =
+        if (deadProbes >= 4 && curDocs > 100000) {
+          curDocs = 100000
+          val dir = s"$work/pages_$curDocs"
+          if (!Files.exists(Paths.get(dir))) {
+            val gs = newSession(cpus)
+            try CorpusGen.generate(gs,
+              CorpusGen.Config(nSites = 4, pagesPerSite = curDocs / 4, avgWords = 400))
+              .write.parquet(dir)
+            finally gs.stop()
+          }
+          System.err.println(s"[bench] $deadProbes consecutive dead probes — " +
+            s"reducing trial size to $curDocs docs while budget remains")
+        }
       def cleanWindowGate(): Unit = if (probeDocs > 0) {
         var go = false
         while (!go) {
@@ -442,6 +466,8 @@ object Bench {
           import scala.sys.process._
           Seq("rm", "-rf", s"$work/probe$probeN").! : Unit
           lastRate = if (m.tput > 0) m.tput else 1.0
+          deadProbes = if (m.tput <= 0) deadProbes + 1 else 0
+          maybeReduce()
           if (!small && m.tput > bestProbe) bestProbe = m.tput
           if (!small) recentStd = (recentStd :+ m).takeRight(3)
           // small probes are a cheap "still contended?" check on their
@@ -538,25 +564,13 @@ object Bench {
         } else {
           System.err.println(
             s"[bench] trial $t FAILED (lo=${lo.tput} hi1=${hi1.tput} hi2=${hi2.tput}) — excluded")
-          // REDUCED TIER: a deadline-killed build means the host can't
-          // finish a 400k-doc trial inside the budget. 100k is the
-          // smallest size whose fixed per-job overheads stay <5% of the
-          // slowest build, so the lo/hi ratio is still the job — a
-          // completed-but-contention-flagged trial with real numbers
-          // beats rc=0 with n_trials=0. Both levels of a trial always
-          // use the same corpus, so the ratio is unaffected.
-          if (curDocs > 100000) {
-            curDocs = 100000
-            val dir = s"$work/pages_$curDocs"
-            if (!Files.exists(Paths.get(dir))) {
-              val gs = newSession(cpus)
-              try CorpusGen.generate(gs,
-                CorpusGen.Config(nSites = 4, pagesPerSite = curDocs / 4, avgWords = 400))
-                .write.parquet(dir)
-              finally gs.stop()
-            }
-            System.err.println(s"[bench] builds were deadline-killed — reducing trial size to $curDocs docs")
-          }
+          // REDUCED TIER on a killed trial too: 100k is the smallest size
+          // whose fixed per-job overheads stay <5% of the slowest build,
+          // so the lo/hi ratio is still the job — a completed-but-
+          // contention-flagged trial with real numbers beats rc=0 with
+          // n_trials=0 (both levels of a trial share one corpus, so the
+          // ratio is unaffected)
+          deadProbes = 4; maybeReduce()
         }
         // bound tmpfs usage: drop this trial's hi1/lo outputs and the
         // PREVIOUS trial's hi2 (the current hi2 index feeds the latency
