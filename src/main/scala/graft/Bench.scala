@@ -683,7 +683,8 @@ object Bench {
     Files.writeString(Paths.get("BENCH/BASELINE.md"),
       s"""# BENCH results (generated by graft.Bench)
          |
-         |Corpus: ${corpusCfg.nDocs} synthetic pages (4 sites, seed 42); index:
+         |Corpus: ${corpusCfg.nDocs} synthetic pages (4 sites, seed 42)${
+           if (curDocs != benchDocs) s" — REDUCED to $curDocs-doc trials mid-run (dead-probe tier)" else ""}; index:
          |shards=${idxCfg.shards}, saltThreshold=${idxCfg.saltThresholdDf}, batches=${idxCfg.nBatches}.
          |Run order: per-query section FIRST, then scaling, then latency — and the
          |whole run is bounded by a wall-clock deadline (${f"$deadlineS%.0f"} s, probes and
