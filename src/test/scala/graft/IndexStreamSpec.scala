@@ -200,4 +200,52 @@ class IndexStreamSpec extends AnyFunSuite {
     assert(engine.search(mA, 0, 10, None).data.exists(i => i.site + i.uri == uA))
     assert(engine.search(mB, 0, 10, None).data.exists(i => i.site + i.uri == uB))
   }
+
+  test("deferred-compaction debt cap: a load past maxPendingBatches compacts before serving, rank-identically (VERDICT r04 item 4)") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-stream-debt").toString
+    val idx = s"$work/idx"
+    val cfg = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, buckets = 16)
+    val l = RuDict.contentLemmas
+    def batchDs(ps: PageRow*) = spark.createDataset(ps.toSeq)
+
+    // bootstrap + 4 refresh batches with compaction deferred indefinitely
+    // (a "long-crashed compactor": compactEvery far beyond the backlog)
+    val base = CorpusGen.generate(spark, CorpusGen.Config(2, 30)).collect().toSeq
+    spark.createDataset(base).write.mode("append").parquet(s"$work/pages")
+    IndexStream.ingestBatch(spark, idx,
+      spark.createDataset(base), cfg, compactEvery = 1000)
+    val marks = Seq(l(190), l(193), l(196), l(199))
+    val urls = marks.zipWithIndex.map { case (_, i) => s"https://site0.test/p/debt$i" }
+    marks.zip(urls).foreach { case (m, u) =>
+      val p = page(u, html("д", s"$m ${RuDict.formsOf(m)(1)} ${l(2)}"))
+      spark.createDataset(Seq(p)).write.mode("append").parquet(s"$work/pages")
+      IndexStream.ingestBatch(spark, idx, batchDs(p), cfg, compactEvery = 1000)
+    }
+    assert(graft.index.Refresh.pendingBatches(spark, idx) == 4)
+
+    // control rankings through the overlay path (debt below the cap)
+    val qs = Seq(marks.head, s"${l(2)} ${marks(1)}", RuDict.formsOf(marks(2))(1))
+    val overlayEngine = new SearchEngine(spark, idx, s"$work/pages", ReferenceTfSum)
+    val expected = qs.map(q => overlayEngine.search(q, 0, 20, None).data
+      .map(i => (i.site + i.uri, i.relevance)))
+    assert(graft.index.Refresh.pendingBatches(spark, idx) == 4,
+      "an engine load below the cap must NOT compact")
+
+    // capped load: 4 pending > 3 allowed → the engine compacts up front...
+    spark.conf.set("spark.graft.maxPendingBatches", "3")
+    try {
+      val cappedEngine = new SearchEngine(spark, idx, s"$work/pages", ReferenceTfSum)
+      assert(graft.index.Refresh.pendingBatches(spark, idx) == 0,
+        "a load past the debt cap must compact before serving")
+      // ...and serves the same rankings from the clean index
+      val got = qs.map(q => cappedEngine.search(q, 0, 20, None).data
+        .map(i => (i.site + i.uri, i.relevance)))
+      assert(got == expected, "capped (compacted) load must rank identically to the overlay path")
+      // compaction also maintains the prefetch hint table (round-5 ADVICE)
+      assert(TableStore.open(spark, idx).exists("mid_terms"),
+        "compaction must (re)write the mid_terms prefetch hint")
+    } finally spark.conf.unset("spark.graft.maxPendingBatches")
+  }
 }
