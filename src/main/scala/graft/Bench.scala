@@ -128,6 +128,31 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** BENCH/BASELINE.md content after a run. A run with ≥1 STABLE trial (or
+    * no previous baseline) replaces the artifact of record with its own
+    * report; a 0-stable run carries the previous stable table forward
+    * under one dated note — notes never stack, because the carried body
+    * always starts at the previous file's own "# BENCH" heading (any
+    * older note sits above it and is dropped). Pure so BenchReportSpec
+    * can pin the round-4 verdict's "a forced 0-trial run leaves the
+    * stable table visible" criterion without running a bench. */
+  private[graft] def baselineAfterRun(prev: Option[String], report: String,
+      nStable: Int, nTrials: Int, stamp: String): String =
+    if (nStable > 0 || prev.isEmpty) report
+    else {
+      val p = prev.get
+      val keepFrom = p.indexOf("# BENCH")
+      val stableBody = if (keepFrom >= 0) p.substring(keepFrom) else p
+      val note =
+        s"""> NOTE ($stamp): a later graft.Bench run recorded $nTrials trial(s), 0 stable
+           |> (contended host / deadline — see BENCH/bench_last_run.md for that run's full
+           |> report, including any last-ditch trial). The stable table below is carried
+           |> forward unchanged from the last run that produced stable trials.
+           |
+           |""".stripMargin
+      note + stableBody
+    }
+
   def main(args: Array[String]): Unit = {
     val mainT0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - mainT0) / 1e9
@@ -342,7 +367,7 @@ object Bench {
     }
 
     var trials = Vector.empty[Trial]
-    var trialDurs = Vector.empty[Double]
+    var trialDurs = Vector.empty[(Int, Double)] // (docs, seconds)
     var lastHiIdx = "" // last successful high-parallelism index (latency section)
     var lastHiPages = "" // the corpus that index was built from
     var curDocs = benchDocs // may be reduced after deadline-killed trials
@@ -431,8 +456,20 @@ object Bench {
       // sizes rebase on one scale. A DEAD probe resets the streak.
       var recentEff = Vector.empty[(Double, Double)] // (effective rate, stealFrac)
       def estTrialS: Double =
-        if (trialDurs.nonEmpty) trialDurs.max * 1.3
-        else math.max(250.0, 650.0 * curDocs / benchDocs)
+        if (trialDurs.nonEmpty) {
+          // scale the worst observed per-doc trial cost to the CURRENT
+          // tier, so a down-shift to 100k docs is estimated at its own
+          // size rather than the 400k duration (fixed overheads make
+          // the scaled figure an underestimate for smaller tiers — the
+          // 250 s floor absorbs that)
+          val worstPerDoc = trialDurs.map { case (d, s) => s / math.max(d, 1) }.max
+          math.max(250.0, worstPerDoc * curDocs * 1.3)
+        } else math.max(250.0, 650.0 * curDocs / 400000.0)
+        // 650 s ≈ an observed full 400k-doc trial on the calibration
+        // host — scaled by ABSOLUTE doc count, so a smaller
+        // SPARK_GRAFT_BENCH_DOCS override estimates its own size (the
+        // old benchDocs-relative form estimated 650 s for ANY full-tier
+        // trial, which starved a 60k-doc run out of its first trial)
       // proactive size reduction: several consecutive DEAD probes (killed
       // before producing any rate) mean the host cannot even build 5k
       // docs inside its allowance — a 400k trial is hopeless, so switch
@@ -569,7 +606,22 @@ object Bench {
         trials.count(x => !x.drifted && !contendedIn(trials)(x))
       var t = 0
       while (t < maxTrials && stableSoFar < nTrials && {
-        val fits = remainS > estTrialS + reserveS
+        var fits = remainS > estTrialS + reserveS
+        if (!fits && curDocs > 100000) {
+          // a full-size trial no longer fits, but a 100k-tier one might:
+          // DOWN-SHIFT instead of stopping (the r5 local run left 790 s
+          // of budget unused this way). estTrialS re-scales per-doc to
+          // the new tier; maybeReduce's own budget check guards the
+          // one-time corpus generation. Tier-aware medians + the
+          // per-trial docs field keep the mixed artifact honest.
+          val saveDead = deadProbes
+          deadProbes = 4; maybeReduce(); deadProbes = saveDead
+          if (curDocs == 100000 && remainS > estTrialS + reserveS) {
+            System.err.println(f"[bench] down-shifted to the 100000-doc tier: " +
+              f"${remainS}%.0f s left fits a reduced trial (est ${estTrialS}%.0f s)")
+            fits = true
+          }
+        }
         if (!fits) {
           deadlineHit = true
           System.err.println(f"[bench] deadline: ${remainS}%.0f s left < " +
@@ -604,7 +656,7 @@ object Bench {
         val tr = Trial(ceilPre, ceilPost, lo, hi1, hi2, curDocs)
         if (tr.ok) {
           trials :+= tr
-          trialDurs :+= (System.nanoTime() - trialT0) / 1e9
+          trialDurs :+= ((curDocs, (System.nanoTime() - trialT0) / 1e9))
           lastHiIdx = s"$work/t${t}_hi2/idx"
           lastHiPages = curPages
           System.err.println(f"[bench] trial $t: ceiling ${tr.ceiling}%.2fx, " +
@@ -886,25 +938,20 @@ object Bench {
     // a contended 0-stable run must not clobber the last stable table with
     // zeros (round-4 verdict item 2: the driver's contended run did exactly
     // that). Instead the stable table is carried forward under a dated note.
-    Files.writeString(Paths.get("BENCH/bench_last_run.md"), report)
-    val baselinePath = Paths.get("BENCH/BASELINE.md")
-    if (nStable > 0 || !Files.exists(baselinePath))
-      Files.writeString(baselinePath, report)
-    else {
-      val prev = Files.readString(baselinePath)
-      val keepFrom = prev.indexOf("# BENCH")
-      val stableBody = if (keepFrom >= 0) prev.substring(keepFrom) else prev
-      val stamp = java.time.Instant.now().toString
-      val note =
-        s"""> NOTE ($stamp): a later graft.Bench run recorded ${trials.size} trial(s), 0 stable
-           |> (contended host / deadline — see BENCH/bench_last_run.md for that run's full
-           |> report, including any last-ditch trial). The stable table below is carried
-           |> forward unchanged from the last run that produced stable trials.
-           |
-           |""".stripMargin
-      Files.writeString(baselinePath, note + stableBody)
-      System.err.println("[bench] 0 stable trials — BENCH/BASELINE.md stable table carried forward; this run's report is in BENCH/bench_last_run.md")
-    }
+    // SPARK_GRAFT_NO_BASELINE=1: diagnostic/test drives print their JSON
+    // but never touch the BENCH/*.md artifacts of record (a stable-looking
+    // reduced-size drive would otherwise replace the real table).
+    if (!sys.env.contains("SPARK_GRAFT_NO_BASELINE")) {
+      Files.writeString(Paths.get("BENCH/bench_last_run.md"), report)
+      val baselinePath = Paths.get("BENCH/BASELINE.md")
+      val prevBaseline =
+        if (Files.exists(baselinePath)) Some(Files.readString(baselinePath)) else None
+      val merged = baselineAfterRun(prevBaseline, report, nStable, trials.size,
+        java.time.Instant.now().toString)
+      Files.writeString(baselinePath, merged)
+      if (!(merged eq report))
+        System.err.println("[bench] 0 stable trials — BENCH/BASELINE.md stable table carried forward; this run's report is in BENCH/bench_last_run.md")
+    } else System.err.println("[bench] SPARK_GRAFT_NO_BASELINE set — BENCH/*.md untouched")
 
     // the work dir lives on tmpfs (RAM) — leaving a 1.4 GB corpus per
     // run accumulates across the driver's repeated rounds

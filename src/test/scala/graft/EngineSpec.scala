@@ -348,4 +348,26 @@ class EngineSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("mid_terms prefetch hint: written at build, excludes every head term, top-df ordered, bounded") {
+    built
+    import org.apache.spark.sql.functions.{col, sum}
+    val heads = spark.read.parquet(s"$indexDir/head_terms")
+      .collect().map(_.getString(0)).toSet
+    val mid = spark.read.parquet(s"$indexDir/mid_terms")
+      .orderBy(col("df").desc, col("term"))
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df")))
+    assert(mid.nonEmpty && mid.length <= 1024, s"hint width out of bounds: ${mid.length}")
+    assert(mid.forall { case (t, _) => !heads.contains(t) },
+      "the hint table must exclude salted head terms (the engine prefetches those separately)")
+    // the hint IS the global-df top of the non-head vocabulary
+    val expected = spark.read.parquet(s"$indexDir/lemma_stats")
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(!col("term").isin(heads.toSeq: _*))
+      .orderBy(col("df").desc, col("term"))
+      .limit(mid.length)
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("df")))
+    assert(mid.toSeq == expected.toSeq,
+      "mid_terms must be exactly the top-df non-head terms in (df desc, term) order")
+  }
 }
