@@ -586,6 +586,27 @@ object IndexBuild {
     // sorter. With ≤ `buckets` open files per task, concurrent writers skip
     // that sort entirely.
     spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", cfg.buckets + 4)
+    // AQE stays ON for the build: measured same-window A/B on the
+    // 400k-doc bench corpus (pinned, steal-free) — AQE-on is ~9% faster
+    // at 1 core AND ~8% faster at 4 cores (its partition coalescing
+    // after the dim-table groupBys saves more task/file overhead than
+    // its re-planning costs; the build's explicit `repartition(N, …)`
+    // widths are respected either way). SPARK_GRAFT_NO_AQE=1 is the
+    // diagnostic escape hatch that re-runs a build with AQE off for
+    // future A/Bs; restored on exit either way.
+    val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled")
+    if (sys.env.get("SPARK_GRAFT_NO_AQE").contains("1"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runInner(spark, pages, outDir, cfg, stopAfter, clearStopMarker)
+    finally aqeWas match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  private def runInner(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
+      cfg: Config, stopAfter: Int, clearStopMarker: Boolean): Int = {
+    import spark.implicits._
     // File-committer algorithm v2: tasks move their files into the
     // destination at TASK commit (parallel, overlapped with other tasks)
     // instead of the driver serially renaming every task dir at JOB commit
@@ -788,11 +809,11 @@ object IndexBuild {
     var statusChain: Future[Unit] = Future.successful(())
     def appendStatus(sites: DataFrame, status: String, error: String): Future[Unit] = {
       val f = statusChain.map { _ =>
-        store.write(
+        phase(s"status $status")(store.write(
           sites.select(col("site"), lit(status).as("status"),
             lit(error).cast("string").as("error"),
             current_timestamp().as("ts")),
-          "site_status", SaveMode.Append)
+          "site_status", SaveMode.Append))
       }
       statusFutures ::= f
       // a failed append must not wedge later chain links (its own failure
@@ -802,7 +823,7 @@ object IndexBuild {
     }
     // batch key = site hash (see the loop below)
     def siteBatch = pmod(xxhash64(col("site")), lit(cfg.nBatches)).cast("int")
-    val done: Set[Int] = completedBatches(spark, outDir)
+    val done: Set[Int] = phase("completedBatches")(completedBatches(spark, outDir))
     // persisted: the INDEXING append materializes it once; the INDEXED
     // append (and multi-batch slices) reuse it instead of re-scanning the
     // analyze cache — a measurable serial tail at high parallelism
@@ -849,7 +870,7 @@ object IndexBuild {
         // head/counts aggregation above (zero extra jobs); multi-batch
         // builds aggregate their own segment table (batch term sets are
         // proper subsets of the global one).
-        val bytes = store.sizeInBytes(segTable)
+        val bytes = phase("segment sizeInBytes")(store.sizeInBytes(segTable))
         val counts =
           if (singleBatch)
             spark.range(1).select(
@@ -905,12 +926,15 @@ object IndexBuild {
     // engine fingerprints index_meta, so it must be durable by then)
     val indexMetaF =
       if (singleBatch && built > 0)
-        Some(Future(store.write(spark.range(1).select(lit(0).as("as_of_batch")),
-          "index_meta", SaveMode.Overwrite)))
+        Some(Future(phase("index_meta write")(
+          store.write(spark.range(1).select(lit(0).as("as_of_batch")),
+            "index_meta", SaveMode.Overwrite))))
       else None
-    awaitDims() // loop may have run zero batches (resume/stop) — still join
-    statusFutures.foreach(Await.result(_, Duration.Inf))
-    indexMetaF.foreach(Await.result(_, Duration.Inf))
+    phase("final joins")({
+      awaitDims() // loop may have run zero batches (resume/stop) — still join
+      statusFutures.foreach(Await.result(_, Duration.Inf))
+      indexMetaF.foreach(Await.result(_, Duration.Inf))
+    })
     allSites.unpersist()
     analyzed.unpersist()
     built
