@@ -128,6 +128,16 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Deterministic every-`step`-th-page-per-site predicate over the bench
+    * corpus's `/p/NNNNNN` url suffix — the reduced-tier corpus is carved
+    * out of the full one as an exact subset (site mix and Zipf head
+    * preserved) instead of regenerated; see maybeReduce. Public-shaped so
+    * BenchSubsetSpec can pin the exact-count property. */
+  private[graft] def pageSubsetFilter(step: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, substring}
+    pmod(substring(col("url"), -6, 6).cast("long"), lit(step)) === 0
+  }
+
   /** BENCH/BASELINE.md content after a run. A run with ≥1 STABLE trial (or
     * no previous baseline) replaces the artifact of record with its own
     * report; a 0-stable run carries the previous stable table forward
@@ -484,27 +494,45 @@ object Bench {
           val dir = s"$work/pages_100000"
           if (Files.exists(Paths.get(dir))) curDocs = 100000
           else {
-            // the in-process generation is unkillable, and this branch
-            // fires precisely when the host is known-contended — only
-            // start it when the remaining budget still covers generation
-            // PLUS one reduced trial plus the tail reserve (round-4
-            // ADVICE). Generation allowance: ~60 s clean, scaled by how
-            // far the host is below its calibrated floor (lastRate is
-            // the freshest contention sample; dead probes leave it tiny).
+            // the reduction fires precisely when the host is known-
+            // contended, so it must be CHEAP. When the full bench corpus
+            // is an exact multiple of the 100k tier (the default 400k is),
+            // the reduced corpus is a deterministic SUBSET of the pages
+            // already on tmpfs — every (benchDocs/100k)-th page per site,
+            // keyed off the /p/NNNNNN url suffix — which keeps the site
+            // mix and Zipf head intact and costs one scan+write (seconds)
+            // instead of an in-process CorpusGen run (observed ~327 s at a
+            // contended window's slowdown, which starved the round-5
+            // driver run of its down-shift). Only a non-multiple override
+            // of SPARK_GRAFT_BENCH_DOCS pays the generation path, and
+            // both paths stay budget-gated (round-4 ADVICE): the work is
+            // in-process and unkillable, so only start it when the
+            // remaining budget still covers it PLUS one reduced trial
+            // plus the tail reserve.
             val slowdown = math.max(1.0, probeFloor /
               math.max(1.0, math.min(lastRate, probeFloor)))
-            val genAllowS = math.min(600.0, 60.0 * slowdown)
+            val subset = benchDocs % 100000 == 0
+            val genAllowS =
+              if (subset) math.min(240.0, 20.0 * slowdown)
+              else math.min(600.0, 60.0 * slowdown)
             val reducedTrialS = math.max(250.0, 650.0 * 100000 / benchDocs)
             if (remainS > genAllowS + reducedTrialS + reserveS + 30) {
               curDocs = 100000
               val gs = newSession(cpus)
-              try CorpusGen.generate(gs,
-                CorpusGen.Config(nSites = 4, pagesPerSite = curDocs / 4, avgWords = 400))
-                .write.parquet(dir)
-              finally gs.stop()
+              try {
+                if (subset) {
+                  val step = (benchDocs / 100000L).toInt
+                  gs.read.parquet(s"$work/pages")
+                    .filter(pageSubsetFilter(step))
+                    .write.parquet(dir)
+                } else CorpusGen.generate(gs,
+                  CorpusGen.Config(nSites = 4, pagesPerSite = curDocs / 4, avgWords = 400))
+                  .write.parquet(dir)
+              } finally gs.stop()
             } else {
               System.err.println(f"[bench] dead-probe reduction SKIPPED: ${remainS}%.0f s " +
-                f"left cannot cover corpus generation (~${genAllowS}%.0f s at the observed " +
+                f"left cannot cover reduced-corpus ${if (subset) "subset" else "generation"} " +
+                f"(~${genAllowS}%.0f s at the observed " +
                 "slowdown) + a reduced trial + reserve — the last-ditch probe-corpus " +
                 "trial is the remaining evidence path")
               deadProbes = 0 // don't re-estimate on every subsequent dead probe
