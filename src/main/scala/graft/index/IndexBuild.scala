@@ -684,10 +684,19 @@ object IndexBuild {
 
     // dims are BUCKET-PARTITIONED by doc id (`db`) / term (`bucket`):
     // that is what makes a later refresh/delete O(touched) — it rewrites
-    // only the partitions holding the affected rows (Refresh.refreshPages)
+    // only the partitions holding the affected rows (Refresh.refreshPages).
+    // Each dim is REPARTITIONED BY ITS PARTITION COLUMN before the write:
+    // without it every cache partition holds every bucket and the dynamic
+    // writer opens tasks × buckets parquet files (32 × 16 = 512 per dim
+    // here) — measured 10-12 s per dim at 1 thread on a 100k corpus, all
+    // of it per-file open/footer fixed cost. One small shuffle instead
+    // collapses that to ~1 file per bucket; at cluster scale this is the
+    // standard small-files compaction shape (files stay splittable, so
+    // read parallelism is unchanged).
     val docsF = Future(phase("docs write")(store.write(
       analyzed.select("doc_id", "url", "site", "lang", "dl")
-        .withColumn("db", docBucketCol(cfg.buckets)),
+        .withColumn("db", docBucketCol(cfg.buckets))
+        .repartition(cfg.buckets, col("db")),
       "docs", SaveMode.Overwrite, partitionBy = Seq("db"))))
 
     // FORWARD index (doc -> its distinct terms): the structure that makes
@@ -699,15 +708,25 @@ object IndexBuild {
     // explicitly (Lucene's analogue: per-doc term vectors).
     val docTermsF = Future(phase("doc_terms write")(store.write(
       analyzed.select(col("doc_id"), map_keys(col("terms")).as("terms"))
-        .withColumn("db", docBucketCol(cfg.buckets)),
+        .withColumn("db", docBucketCol(cfg.buckets))
+        .repartition(cfg.buckets, col("db")),
       "doc_terms", SaveMode.Overwrite, partitionBy = Seq("db"))))
 
     val post = analyzed
       .select(col("doc_id"), col("site"), col("dl"), explode(col("terms")).as(Seq("term", "tf")))
 
+    // lemma_stats aggregation PERSISTED before the write: the head-term /
+    // vocabulary derivation below reads this cache instead of the written
+    // parquet, so the segment build's only upstream (the head set) never
+    // waits on the lemma_stats file write — that write overlaps the
+    // posting build like every other dim write instead of sitting on the
+    // critical path (write → read-back → agg was a serial ~2 s tail at
+    // high parallelism).
+    val lemmaStats = post.groupBy("term", "site").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", termBucketCol(cfg.buckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lemmaStatsF = Future(phase("lemma_stats write")(store.write(
-      post.groupBy("term", "site").agg(count(lit(1)).as("df"))
-        .withColumn("bucket", termBucketCol(cfg.buckets)),
+      lemmaStats.repartition(cfg.buckets, col("bucket")),
       "lemma_stats", SaveMode.Overwrite, partitionBy = Seq("bucket"))))
 
     // Global stats for BM25 (N, avgdl) + build config — one tiny row,
@@ -738,15 +757,15 @@ object IndexBuild {
     val statsWriteF = Future(phase("stats write")(
       store.write(statsRow, "stats", SaveMode.Overwrite)))
 
-    Await.result(lemmaStatsF, Duration.Inf)
     // Global salted-term decision — identical across batches/restarts —
     // plus the single-batch lineage metrics, all from ONE aggregation job
-    // over the tiny written lemma_stats table. The head set is collected
-    // to the driver: it is the SKEW set, bounded by construction to
+    // over the tiny CACHED lemma_stats aggregation (not the written table
+    // — see the persist above). The head set is collected to the driver:
+    // it is the SKEW set, bounded by construction to
     // < total_postings / saltThresholdDf terms (a few thousand even at
     // 10^12 docs), and shipping it as a literal local relation makes the
     // salting join a broadcast with no extra scan or read-back job.
-    val statsDf = store.read("lemma_stats")
+    val statsDf = lemmaStats
     // per-term global df, shared by the head/counts collect AND the
     // mid_terms TakeOrdered below — cached so lemma_stats is scanned and
     // re-aggregated once, not once per consumer. Vocabulary-sized
@@ -790,7 +809,8 @@ object IndexBuild {
     // every dimension write must be durable before a lineage row declares
     // the batch COMPLETE (lineage is the commit point)
     def awaitDims(): Unit =
-      Seq(docsF, docTermsF, statsWriteF, headTermsWriteF, midTermsWriteF)
+      Seq(docsF, docTermsF, lemmaStatsF, statsWriteF, headTermsWriteF,
+          midTermsWriteF)
         .foreach(Await.result(_, Duration.Inf))
 
     // ── per-site status lifecycle (reference site.status / status_time /
@@ -935,6 +955,7 @@ object IndexBuild {
       statusFutures.foreach(Await.result(_, Duration.Inf))
       indexMetaF.foreach(Await.result(_, Duration.Inf))
     })
+    lemmaStats.unpersist()
     allSites.unpersist()
     analyzed.unpersist()
     built
