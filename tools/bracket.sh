@@ -10,7 +10,7 @@ W=/dev/shm/graft-bracket.$$
 mkdir -p "$W"
 trap 'rm -rf "$W"' EXIT
 run() { # threads cpuset out
-  taskset -c "$2" java -Xmx8g -cp "$CP" graft.BenchBuild "$1" "$PAGES" "$W/$3" "$NDOCS" 20000 2>/dev/null \
+  taskset -c "$2" java -Xmx8g -XX:+UseParallelGC -cp "$CP" graft.BenchBuild "$1" "$PAGES" "$W/$3" "$NDOCS" 20000 2>/dev/null \
     | grep BENCHBUILD_RESULT
 }
 echo "== hi1 (4 cores) =="; H1=$(run 4 0-3 h1); echo "$H1"
