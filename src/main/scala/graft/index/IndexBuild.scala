@@ -197,7 +197,8 @@ object IndexBuild {
     * salted head-term set. `post` must carry columns
     * (term, doc_id, tf, dl, site).
     *
-    * Physical plan: ONE shuffle — `repartition(term, shard)` — and no
+    * Physical plan: ONE shuffle — `repartition(segShuffleKeys)`, which
+    * co-locates (term, shard) groups bucket-major — and no
     * driver collection anywhere. By default the shuffle's UNIT is a
     * map-side partial posting list per (input partition, term, shard)
     * (see [[combinePartition]]): measured on the 400k-doc bench corpus
@@ -251,10 +252,11 @@ object IndexBuild {
     // IDENTICAL to the row-shuffle path (same sorted arrays into the
     // same encodeRaw; asserted by SegmentCombineSpec), which stays
     // available under SPARK_GRAFT_NO_COMBINE=1 as the A/B reference.
+    val segKeys = segShuffleKeys(buckets, numPartitions)
     if (sys.env.get("SPARK_GRAFT_NO_COMBINE").contains("1"))
       encodeSortedRows(
         salted
-          .repartition(numPartitions, col("term"), col("shard"))
+          .repartition(numPartitions, segKeys: _*)
           .sortWithinPartitions("term", "shard", "doc_id"),
         buckets)
     else {
@@ -263,7 +265,7 @@ object IndexBuild {
         org.apache.spark.sql.Encoders.product[SegPartial])
       mergePartials(
         partials.toDF()
-          .repartition(numPartitions, col("term"), col("shard"))
+          .repartition(numPartitions, segKeys: _*)
           .sortWithinPartitions("term", "shard"),
         buckets)
     }
@@ -522,6 +524,24 @@ object IndexBuild {
       }
     }
     spark.createDataset(rdd)
+  }
+
+  /** Shuffle keys for the posting encode: (storage bucket,
+    * subkey(term, shard)) instead of the natural (term, shard). Both
+    * co-locate every row of a (term, shard) group in one reduce task
+    * (the subkey is a pure function of the pair), but the bucket-major
+    * key makes each reduce task hold terms of (almost always) ONE
+    * storage bucket, so the partitionBy("bucket") write emits
+    * ~numPartitions files instead of numPartitions × buckets tiny ones
+    * (512 → ~32 on the bench tier; a cold query then opens 1-2 files per
+    * bucket, not 32). Same single shuffle, same in-partition sort,
+    * byte-identical segment rows. Scale shape: with numPartitions ≫
+    * buckets each bucket spans numPartitions/buckets parallel tasks —
+    * write parallelism is unchanged. */
+  def segShuffleKeys(buckets: Int, numPartitions: Int): Seq[org.apache.spark.sql.Column] = {
+    val sub = math.max(1, numPartitions / buckets)
+    Seq(termBucketCol(buckets),
+      pmod(xxhash64(col("term"), col("shard")), lit(sub)))
   }
 
   def termBucket(term: String, buckets: Int): Int = {

@@ -475,7 +475,8 @@ object Refresh {
       spark.sparkContext.defaultParallelism)
     val merged = IndexBuild.encodeSortedRows(
       alive
-        .repartition(numPartitions, col("term"), col("shard"))
+        .repartition(numPartitions,
+          IndexBuild.segShuffleKeys(cfg.buckets, numPartitions): _*)
         .sortWithinPartitions("term", "shard", "doc_id"),
       cfg.buckets)
 
@@ -536,7 +537,8 @@ object Refresh {
       spark.sparkContext.defaultParallelism)
     val merged = IndexBuild.encodeSortedRows(
       alive
-        .repartition(numPartitions, col("term"), col("shard"))
+        .repartition(numPartitions,
+          IndexBuild.segShuffleKeys(cfg.buckets, numPartitions): _*)
         .sortWithinPartitions("term", "shard", "doc_id"),
       cfg.buckets)
 

@@ -65,7 +65,7 @@ class SegmentCombineSpec extends AnyFunSuite {
       .collect()
     val rowPath = IndexBuild.encodeSortedRows(
       saltedOf(post)
-        .repartition(8, col("term"), col("shard"))
+        .repartition(8, IndexBuild.segShuffleKeys(cfg.buckets, 8): _*)
         .sortWithinPartitions("term", "shard", "doc_id"),
       cfg.buckets).collect()
 
