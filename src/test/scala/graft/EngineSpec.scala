@@ -370,4 +370,24 @@ class EngineSpec extends AnyFunSuite {
     assert(mid.toSeq == expected.toSeq,
       "mid_terms must be exactly the top-df non-head terms in (df desc, term) order")
   }
+
+  test("bounded-files layout: index and dim writes emit O(partitions) files, not tasks x buckets") {
+    built
+    def parquetFiles(table: String): Long = {
+      val p = java.nio.file.Paths.get(s"$indexDir/$table")
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(f => f.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    // the shuffle width of this fixture is 8 and buckets = 16; the
+    // bucket-major segment keys / dim repartition bound every bucketed
+    // table at ~(width + buckets) files with hash-collision slack —
+    // the pre-fix dynamic writes emitted up to width x buckets (128)
+    // per table (and per BATCH for the 3-batch index)
+    val bound = 8 + idxCfg.buckets + 8 // width + buckets + slack
+    for (t <- Seq("index", "docs", "doc_terms", "lemma_stats")) {
+      val n = parquetFiles(t)
+      assert(n > 0 && n <= bound, s"$t holds $n parquet files (bound $bound)")
+    }
+  }
 }
