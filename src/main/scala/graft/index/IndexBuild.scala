@@ -677,10 +677,17 @@ object IndexBuild {
       }
       .toDF("doc_id", "url", "site", "lang", "dl", "terms")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the cache with a plain count FIRST: fusing the heavy
+    // Materialize the cache FIRST (cache-then-write: fusing the heavy
     // extract+lemmatize map into the parquet-writer stage serializes
-    // ~2x worse (writer memory pressure) than cache-then-write.
-    phase("analyze")(analyzed.count())
+    // ~2x worse under writer memory pressure) — and the materializing
+    // job IS the global-stats aggregation, so the corpus is scanned once
+    // for both instead of count-then-agg. The doc-id uniqueness check
+    // rides the same pass.
+    val st = phase("analyze")(analyzed.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("doc_id")).as("n_distinct"),
+      avg(col("dl")).as("avgdl"),
+      sum(col("dl")).as("total_tokens")).collect()(0))
 
     // The three dimension/stat writes are INDEPENDENT jobs over the same
     // persisted analyze pass; submit them from separate threads so their
@@ -750,16 +757,9 @@ object IndexBuild {
       "lemma_stats", SaveMode.Overwrite, partitionBy = Seq("bucket"))))
 
     // Global stats for BM25 (N, avgdl) + build config — one tiny row,
-    // collected ONCE (the doc-id uniqueness check rides the same
-    // aggregation) and written back as a literal row: one aggregation job
-    // + one local write instead of agg-write + read-back-collect.
-    val statsF = Future(phase("stats agg")(analyzed.agg(
-      count(lit(1)).as("n_docs"),
-      countDistinct(col("doc_id")).as("n_distinct"),
-      avg(col("dl")).as("avgdl"),
-      sum(col("dl")).as("total_tokens")).collect()(0)))
-
-    val st = Await.result(statsF, Duration.Inf)
+    // already collected by the analyze-materializing aggregation above
+    // (`st`) and written back as a literal row: the cache-materializing
+    // scan IS the stats job, so no separate agg-then-collect pass runs.
     require(st.getAs[Long]("n_docs") == st.getAs[Long]("n_distinct"),
       s"doc_id hash collision or duplicate url: " +
         s"${st.getAs[Long]("n_docs") - st.getAs[Long]("n_distinct")}")
