@@ -375,7 +375,7 @@ object Bench {
       val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.toArray.map(_.toString)
         .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-          a.startsWith("-Xmx") || a.startsWith("-D"))
+          a.startsWith("-D"))
       // ParallelGC for the timed builds: the build is a pure-throughput
       // batch job (no latency SLO), where G1's concurrent mark/refinement
       // threads are pure overhead — measured on the 400k corpus:
@@ -383,7 +383,20 @@ object Bench {
       // 3364 → 3266, scaling efficiency 0.776 → 0.881. The same choice a
       // production spark-submit makes via
       // spark.executor.extraJavaOptions=-XX:+UseParallelGC (README).
+      //
+      // FIXED subprocess heap, never inherited: a driver launched with
+      // -Xmx48g (tools/jrun.sh) used to pass that heap to every timed
+      // build, and ParallelGC ergonomics on an oversized max heap burn
+      // real CPU — measured on the identical 400k corpus, same pinned
+      // cores, zero steal: local[4] 12,025 docs/s @ -Xmx8g vs 4,377 @
+      // -Xmx48g (busy jiffies 12,631 vs 33,247 — 2.6x the CPU for the
+      // same work). That inherited heap, not host contention, is what
+      // depressed the round-4/5 bench trials to ~half the bracket.sh
+      // anchor (which always ran at 8g). 8g matches the anchor
+      // calibration and a production executor's per-core heap share.
+      val buildXmx = sys.env.getOrElse("SPARK_GRAFT_BUILD_XMX", "8g")
       val cmd = pinPrefix(threads) ++ Seq("java") ++ jvm ++ Seq(
+        s"-Xmx$buildXmx",
         "-XX:+UseParallelGC",
         "-cp", System.getProperty("java.class.path"),
         "graft.BenchBuild", threads.toString, pagesPath, outDir,
@@ -458,11 +471,11 @@ object Bench {
       // report. The host's throttle/contention windows last tens of
       // minutes; a full hi–lo–hi trial started inside one burns ~25 min
       // of builds that the drift/contention flags then (correctly)
-      // discard. Before each trial a CHEAP pinned probe build (~10 s
-      // clean; no JIT warm-up — probes are only compared to each other)
-      // samples the host: visible steal, or a rate far below the best
-      // probe seen this run, means "inside a window" → sleep and
-      // re-probe. Round-3 lesson: the gate must be bounded by TOTAL
+      // discard. Before each trial a CHEAP pinned probe build (~30 s
+      // clean, JIT-warmed so it reads on the same scale as the floor
+      // calibration) samples the host: visible steal, or a rate far
+      // below the best probe seen this run, means "inside a window" →
+      // sleep and re-probe. Round-3 lesson: the gate must be bounded by TOTAL
       // wall-clock INCLUDING probe time, not just sleep — a contended
       // 30k-doc probe took up to 4 minutes and held the driver run past
       // its timeout with zero trials recorded. Now: probes are smaller
@@ -620,11 +633,22 @@ object Bench {
           // Backoff: each consecutive dead probe widens the allowance
           // (up to 4x) until one completes and the gate can see a rate.
           val deadBackoff = math.min(4.0, 1.0 + deadProbes * 0.75)
-          val probeKill = math.max(30.0,
+          val probeKill = math.max(45.0,
             math.min(remainS - reserveS,
-              (if (probeFloor > 0) 6.0 * docs / probeFloor + 20.0 else 240.0) * deadBackoff))
+              (if (probeFloor > 0) 6.0 * docs / probeFloor + 45.0 else 240.0) * deadBackoff))
+          // WARM probes: the floor and the documented clean/contended
+          // bands (clean ≥ ~2000, contended 137–895) were calibrated
+          // from warmed-up builds, but these probes used to run with
+          // warmup=none and so measured JIT-cold rates — ~655 docs/s
+          // std / ~255–430 small on a VERIFIABLY CLEAN host (a warm
+          // probe on the same corpus, same cores, same minute read
+          // 2,118). Cold probes can never reach a warm-scale floor, so
+          // the gate slept through every clean window it was built to
+          // find and only opened via the slow-host rebase (rounds 4–5).
+          // The warm-up costs ~15 s per probe; a correct gate decision
+          // is worth it (kill allowance widened +25 s to match).
           val m = buildAt(pHigh, s"$work/probe$probeN", s"$work/probe_pages_$docs",
-            docs.toLong, warmup = false, killAfterS = probeKill)
+            docs.toLong, warmup = true, killAfterS = probeKill)
           import scala.sys.process._
           Seq("rm", "-rf", s"$work/probe$probeN").! : Unit
           lastRate = if (m.tput > 0) m.tput else 1.0
