@@ -111,7 +111,8 @@ object Bench {
   private[graft] def parseAnchor(s: String): Seq[(Double, Double, Long)] = {
     def num(obj: String, k: String): Option[Double] =
       ("\"" + k + "\"\\s*:\\s*([0-9.eE+-]+)").r
-        .findFirstMatchIn(obj).map(_.group(1).toDouble)
+        .findFirstMatchIn(obj)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     "\\{[^{}]*\\}".r.findAllIn(s).toSeq.flatMap { obj =>
       for (h <- num(obj, "hi"); l <- num(obj, "lo"); d <- num(obj, "docs"))
         yield (h, l, d.toLong)
@@ -151,8 +152,12 @@ object Bench {
     * preserved) instead of regenerated; see maybeReduce. Public-shaped so
     * BenchSubsetSpec can pin the exact-count property. */
   private[graft] def pageSubsetFilter(step: Int): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, substring}
-    pmod(substring(col("url"), -6, 6).cast("long"), lit(step)) === 0
+    import org.apache.spark.sql.functions.{col, lit, pmod, regexp_extract}
+    // full trailing page number, not the last 6 chars: %06d widens past
+    // 10^6 pages/site and a fixed-width slice would silently break the
+    // exact-count subset invariant there
+    pmod(regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long"),
+      lit(step)) === 0
   }
 
   /** BENCH/BASELINE.md content after a run. A run with ≥1 STABLE trial (or
@@ -528,16 +533,17 @@ object Bench {
       // fixed-overhead discount its contended-check applies — so both
       // sizes rebase on one scale. A DEAD probe resets the streak.
       var recentEff = Vector.empty[(Double, Double)] // (effective rate, stealFrac)
-      def estTrialS: Double =
+      def estTrialAt(docs: Long): Double =
         if (trialDurs.nonEmpty) {
-          // scale the worst observed per-doc trial cost to the CURRENT
+          // scale the worst observed per-doc trial cost to the given
           // tier, so a down-shift to 100k docs is estimated at its own
           // size rather than the 400k duration (fixed overheads make
           // the scaled figure an underestimate for smaller tiers — the
           // 250 s floor absorbs that)
           val worstPerDoc = trialDurs.map { case (d, s) => s / math.max(d, 1) }.max
-          math.max(250.0, worstPerDoc * curDocs * 1.3)
-        } else math.max(250.0, 650.0 * curDocs / 400000.0)
+          math.max(250.0, worstPerDoc * docs * 1.3)
+        } else math.max(250.0, 650.0 * docs / 400000.0)
+      def estTrialS: Double = estTrialAt(curDocs)
         // 650 s ≈ an observed full 400k-doc trial on the calibration
         // host — scaled by ABSOLUTE doc count, so a smaller
         // SPARK_GRAFT_BENCH_DOCS override estimates its own size (the
@@ -578,7 +584,10 @@ object Bench {
             val genAllowS =
               if (subset) math.min(240.0, 20.0 * slowdown)
               else math.min(600.0, 60.0 * slowdown)
-            val reducedTrialS = math.max(250.0, 650.0 * 100000 / benchDocs)
+            // estimate the reduced trial at ITS OWN tier (the old
+            // benchDocs-relative 650*100k/benchDocs over-estimated for
+            // benchDocs<260k and could refuse a down-shift that fits)
+            val reducedTrialS = estTrialAt(100000)
             if (remainS > genAllowS + reducedTrialS + reserveS + 30) {
               curDocs = 100000
               val gs = newSession(cpus)
@@ -756,6 +765,7 @@ object Bench {
             killAfterS = buildKillS)
         val ceilPost = cpuCeiling(pHigh)
         val tr = Trial(ceilPre, ceilPost, lo, hi1, hi2, curDocs)
+        val prevHiIdx = lastHiIdx
         if (tr.ok) {
           trials :+= tr
           trialDurs :+= ((curDocs, (System.nanoTime() - trialT0) / 1e9))
@@ -779,15 +789,20 @@ object Bench {
         }
         // bound tmpfs usage: drop this trial's hi1/lo outputs and, ONLY
         // when this trial succeeded (lastHiIdx moved to t's hi2), the
-        // previous trial's hi2 — a failed trial leaves lastHiIdx pointing
-        // at the older index, and deleting it would silently zero the
-        // latency section (round-4 ADVICE, medium)
+        // PREVIOUSLY KEPT hi2 — by its recorded path, not t-1: after a
+        // fail-then-success sequence t-1's dir is already gone and the
+        // superseded index lives further back, so a t-1 guess would
+        // strand ~GB indexes on tmpfs for the rest of the run. A failed
+        // trial leaves lastHiIdx pointing at the older index, and
+        // deleting it would silently zero the latency section
+        // (round-4 ADVICE, medium).
         def rm(p: String): Unit = {
           import scala.sys.process._
           Seq("rm", "-rf", p).! : Unit
         }
         rm(s"$work/t${t}_hi1"); rm(s"$work/t${t}_lo")
-        if (tr.ok && t > 1) rm(s"$work/t${t - 1}_hi2")
+        if (tr.ok && prevHiIdx.nonEmpty)
+          rm(prevHiIdx.stripSuffix("/idx"))
         if (!tr.ok) rm(s"$work/t${t}_hi2")
       }
       // ── LAST-DITCH trial (round-4 verdict item 1a): when the whole
@@ -927,6 +942,10 @@ object Bench {
       val atFinal = trials.filter(_.docs == curDocs)
       if (atFinal.nonEmpty) atFinal else trials
     }
+    // the tier the headline docs/s medians actually describe — when only
+    // a last-ditch probe-sized trial exists, bench_docs_final must say
+    // so instead of labeling its unwarmed 15k-doc rates as the full tier
+    val tierDocs = tierTrials.headOption.map(_.docs).getOrElse(curDocs)
     val tputLowMedian = median(tierTrials.map(_.tputLow))
     val tputHighMedian = median(tierTrials.map(_.tputHigh))
     // final classification — same predicate the adaptive loop used; a
@@ -953,7 +972,7 @@ object Bench {
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errsJson = queryErrors.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"pinned":${!pinningDisabled},"n_trials":${trials.size},"n_stable_trials":$nStable,"n_last_ditch_trials":${trials.count(_.lastDitch)},"stable_fallback":$stableFallback,"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs,"bench_docs_final":$curDocs,"deadline_s":${f"$deadlineS%.0f"},"elapsed_s":${f"$elapsedS%.0f"},"deadline_hit":$deadlineHit,"probe_floor":${f"$probeFloorUsed%.0f"},"probe_floor_derived":${f"$probeFloorDerived%.0f"},"probe_floor_rebased":$floorAccepted,"host_burn_1t":$hostBurn1,"gate_probes":$gateProbes,"gate_slept_s":${f"$gateSleptS%.0f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"query_errors":$errsJson,"sf":"$sfDir","p_low":$pLow,"p_high":$pHigh,"pinned":${!pinningDisabled},"n_trials":${trials.size},"n_stable_trials":$nStable,"n_last_ditch_trials":${trials.count(_.lastDitch)},"stable_fallback":$stableFallback,"trials":$trialsJson,"index_docs_per_sec_plow":${f"$tputLowMedian%.1f"},"index_docs_per_sec_phigh":${f"$tputHighMedian%.1f"},"scaling_efficiency":${f"$effMedian%.3f"},"scaling_efficiency_stable":${f"$effStableMedian%.3f"},"scaling_efficiency_steal_corrected":${f"$effCorrMedian%.3f"},"scaling_efficiency_steal_corrected_stable":${f"$effCorrStableMedian%.3f"},"scaling_efficiency_best":${f"$effBest%.3f"},"cpu_ceiling_speedup":${f"$ceilMedian%.2f"},"efficiency_vs_ceiling":${f"$effVsCeilMedian%.3f"},"efficiency_vs_ceiling_stable":${f"$effVsCeilStableMedian%.3f"},"efficiency_vs_ceiling_best":${f"$effVsCeilBest%.3f"},"bm25_topk_p50_ms":${f"$p50Ms%.1f"},"bm25_topk_p95_ms":${f"$p95Ms%.1f"},"bm25_topk_cold_p50_ms":${f"$p50ColdMs%.1f"},"bm25_topk_cold_max_ms":${f"$p95ColdMs%.1f"},"bench_docs":$benchDocs,"bench_docs_final":$tierDocs,"deadline_s":${f"$deadlineS%.0f"},"elapsed_s":${f"$elapsedS%.0f"},"deadline_hit":$deadlineHit,"probe_floor":${f"$probeFloorUsed%.0f"},"probe_floor_derived":${f"$probeFloorDerived%.0f"},"probe_floor_rebased":$floorAccepted,"host_burn_1t":$hostBurn1,"gate_probes":$gateProbes,"gate_slept_s":${f"$gateSleptS%.0f"}}""")
 
     // BENCH/BASELINE.md per the measurement protocol in BASELINE.md
     val trialRows = trials.zipWithIndex.map { case (t, i) =>

@@ -125,14 +125,24 @@ final class SearchEngine(
     val maxPending = confOrEnv("spark.graft.maxPendingBatches",
       "SPARK_GRAFT_MAX_PENDING_BATCHES").map(_.toInt).getOrElse(64)
     if (maxPending > 0 && store.exists("index_meta") &&
-        graft.index.Refresh.incrementalLayout(store) &&
-        graft.index.Refresh.pendingBatches(spark, indexDir) > maxPending) {
+        graft.index.Refresh.incrementalLayout(store)) {
       val n = graft.index.Refresh.pendingBatches(spark, indexDir)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"$n pending delta batches exceed spark.graft.maxPendingBatches=$maxPending — " +
-          "compacting before serving to cap reload cost")
-      graft.index.Refresh.compactTouched(spark, indexDir,
-        IndexBuild.Config(buckets = buckets))
+      if (n > maxPending) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$n pending delta batches exceed spark.graft.maxPendingBatches=$maxPending — " +
+            "compacting before serving to cap reload cost")
+        // Best-effort: the overlay below is always correct, just slower.
+        // A reader without write access (or one that loses the versioned-
+        // replace race to the real compactor / another loading engine)
+        // must serve, not die — single-writer is the deployment contract
+        // for the REWRITE, never a precondition for reads.
+        try graft.index.Refresh.compactTouched(spark, indexDir,
+          IndexBuild.Config(buckets = buckets))
+        catch { case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"load-time compaction failed (${e.getMessage}) — serving via the delta overlay")
+        }
+      }
     }
     val asOf =
       if (store.exists("index_meta"))
