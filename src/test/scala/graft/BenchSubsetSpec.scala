@@ -51,4 +51,20 @@ class BenchSubsetSpec extends AnyFunSuite {
     // and it is the arithmetic subset, not an arbitrary quarter
     assert(urls1.forall(_.takeRight(6).toLong % step == 0))
   }
+
+  test("pageSubsetFilter keys on the full page number past the %06d width") {
+    // CorpusGen's /p/%06d widens to 7 digits at n >= 10^6; a fixed
+    // last-6-chars slice would read n mod 10^6 there and silently break
+    // the exact-count invariant (step 48 does not divide 10^6). The
+    // filter must select by the FULL trailing number at any width.
+    import spark.implicits._
+    val ns = (999990L to 1000010L) ++ Seq(0L, 48L, 999999L)
+    val df = ns.map(n => f"https://site0.test/p/$n%06d").toDF("url")
+    val step = 48
+    val kept = df.filter(Bench.pageSubsetFilter(step))
+      .collect().map(_.getString(0)).toSet
+    val expected = ns.filter(_ % step == 0)
+      .map(n => f"https://site0.test/p/$n%06d").toSet
+    assert(kept == expected, s"kept=$kept expected=$expected")
+  }
 }
