@@ -248,4 +248,52 @@ class IndexStreamSpec extends AnyFunSuite {
         "compaction must (re)write the mid_terms prefetch hint")
     } finally spark.conf.unset("spark.graft.maxPendingBatches")
   }
+
+  test("debt-cap compaction is best-effort: a reader that cannot write serves via the overlay") {
+    spark.sparkContext.setLogLevel("WARN")
+    import scala.sys.process._
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-stream-rodebt").toString
+    val idx = s"$work/idx"
+    val cfg = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, buckets = 16)
+    val l = RuDict.contentLemmas
+
+    val base = CorpusGen.generate(spark, CorpusGen.Config(2, 30)).collect().toSeq
+    spark.createDataset(base).write.mode("append").parquet(s"$work/pages")
+    IndexStream.ingestBatch(spark, idx,
+      spark.createDataset(base), cfg, compactEvery = 1000)
+    val marks = Seq(l(190), l(193))
+    marks.zipWithIndex.foreach { case (m, i) =>
+      val p = page(s"https://site0.test/p/ro$i",
+        html("д", s"$m ${RuDict.formsOf(m)(1)} ${l(2)}"))
+      spark.createDataset(Seq(p)).write.mode("append").parquet(s"$work/pages")
+      IndexStream.ingestBatch(spark, idx, spark.createDataset(Seq(p)), cfg,
+        compactEvery = 1000)
+    }
+    assert(graft.index.Refresh.pendingBatches(spark, idx) == 2)
+
+    val qs = Seq(marks.head, s"${l(2)} ${marks(1)}")
+    val overlayEngine = new SearchEngine(spark, idx, s"$work/pages", ReferenceTfSum)
+    val expected = qs.map(q => overlayEngine.search(q, 0, 20, None).data
+      .map(i => (i.site + i.uri, i.relevance)))
+
+    // make the index TABLE unwritable even to root (the compaction's first
+    // write stages inside it) while leaving every read path intact — the
+    // read-only-reader / lost-compaction-race scenario
+    if (Seq("chattr", "+i", s"$idx/index").! != 0)
+      cancel("chattr +i unsupported on this filesystem")
+    try {
+      spark.conf.set("spark.graft.maxPendingBatches", "1")
+      val roEngine = new SearchEngine(spark, idx, s"$work/pages", ReferenceTfSum)
+      val got = qs.map(q => roEngine.search(q, 0, 20, None).data
+        .map(i => (i.site + i.uri, i.relevance)))
+      assert(got == expected,
+        "a reader whose over-cap compaction fails must serve the overlay rankings, not die")
+      assert(graft.index.Refresh.pendingBatches(spark, idx) == 2,
+        "the failed compaction must leave the pending debt untouched")
+    } finally {
+      spark.conf.unset("spark.graft.maxPendingBatches")
+      Seq("chattr", "-i", s"$idx/index").! : Unit
+    }
+  }
 }
