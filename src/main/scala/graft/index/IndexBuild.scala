@@ -604,7 +604,9 @@ object IndexBuild {
     // partitionBy(bucket) with the default sort-based writer re-sorts every
     // task's rows — copying each multi-KB posting blob through the external
     // sorter. With ≤ `buckets` open files per task, concurrent writers skip
-    // that sort entirely.
+    // that sort entirely. Scoped to the build (restored below) like every
+    // other build-only setting.
+    val writersWas = spark.conf.getOption("spark.sql.maxConcurrentOutputFileWriters")
     spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", cfg.buckets + 4)
     // AQE stays ON for the build: measured same-window A/B on the
     // 400k-doc bench corpus (pinned, steal-free) — AQE-on is ~9% faster
@@ -617,10 +619,28 @@ object IndexBuild {
     val aqeWas = spark.conf.getOption("spark.sql.adaptive.enabled")
     if (sys.env.get("SPARK_GRAFT_NO_AQE").contains("1"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // committer v2 is a BUILD-scoped decision (its mid-commit caveat is
+    // argued void only for the lineage-gated build below) — it must not
+    // leak onto later same-session writes (compaction partition
+    // overwrites, store.replace), whose crash-convergence arguments
+    // assume the default committer
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val committerWas = Option(
+      hadoopConf.get("mapreduce.fileoutputcommitter.algorithm.version"))
     try runInner(spark, pages, outDir, cfg, stopAfter, clearStopMarker)
-    finally aqeWas match {
-      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    finally {
+      aqeWas match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+      writersWas match {
+        case Some(v) => spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", v)
+        case None => spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
+      }
+      committerWas match {
+        case Some(v) => hadoopConf.set("mapreduce.fileoutputcommitter.algorithm.version", v)
+        case None => hadoopConf.unset("mapreduce.fileoutputcommitter.algorithm.version")
+      }
     }
   }
 

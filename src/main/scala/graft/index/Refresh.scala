@@ -58,6 +58,27 @@ object Refresh {
   def pendingBatches(spark: SparkSession, outDir: String): Int =
     math.max(0, nextBatch(spark, outDir) - 1 - indexAsOf(spark, outDir))
 
+  /** The index's PERSISTED layout (stats row: buckets / shards /
+    * site_groups / n_batches), authoritative over whatever Config the
+    * caller passed — a CLI refresh with the default cfg against an index
+    * built with buckets=32 would otherwise hash deltas, touched_log rows
+    * and lemma_stats partitions mod 16 while the base tables use mod 32,
+    * silently corrupting the overlay/compaction bucket math. Non-layout
+    * knobs (saltThresholdDf) stay the caller's. A stats row predating a
+    * column falls back to the caller's value for that field only. */
+  private[graft] def layoutCfg(store: TableStore,
+      cfg: IndexBuild.Config): IndexBuild.Config =
+    store.readOpt("stats").map { df =>
+      val r = df.collect()(0)
+      def get(k: String, d: Int): Int =
+        try r.getAs[Int](k) catch { case scala.util.control.NonFatal(_) => d }
+      cfg.copy(
+        shards = get("shards", cfg.shards),
+        nBatches = get("n_batches", cfg.nBatches),
+        siteGroups = get("site_groups", cfg.siteGroups),
+        buckets = get("buckets", cfg.buckets))
+    }.getOrElse(cfg)
+
   /** The O(touched) paths need the forward doc_terms table AND the
     * bucket-partitioned dims (docs.db, lemma_stats.bucket) — all written
     * by current builds. An index predating any of them takes the legacy
@@ -72,10 +93,11 @@ object Refresh {
     * tombstones, maintains every dimension O(touched), then compacts the
     * touched index buckets (or defers it when `compact = false`). */
   def refreshPages(spark: SparkSession, outDir: String, pages: Dataset[PageRow],
-      cfg: IndexBuild.Config = IndexBuild.Config(),
+      cfg0: IndexBuild.Config = IndexBuild.Config(),
       compact: Boolean = true): Unit = {
     import spark.implicits._
     val store = TableStore.open(spark, outDir)
+    val cfg = layoutCfg(store, cfg0)
     val batch = nextBatch(spark, outDir)
 
     val analyzed = IndexBuild.filterValidCode(pages) // F1, as in the build
@@ -139,18 +161,46 @@ object Refresh {
       "touched_log", SaveMode.Append)
 
     if (incremental) {
-      // old versions of the replaced docs — pruned partition read,
-      // snapshotted BEFORE the dims are overwritten; feeds the stats
-      // delta and the lemma_stats decrement
-      val oldDocs = pruneDb(store.read("docs"))
-        .join(newIds, Seq("doc_id"), "leftsemi")
-        .select("doc_id", "site", "dl")
-        .localCheckpoint(true)
-      val oldTermRows = pruneDb(store.read("doc_terms"))
-        .join(newIds, Seq("doc_id"), "leftsemi")
-        .select(col("doc_id"), explode(col("terms")).as("term"))
-        .join(oldDocs.select("doc_id", "site"), Seq("doc_id"))
-        .localCheckpoint(true)
+      // batch content key + added scalars in ONE agg over the cached
+      // analyze output (order-independent hash — drives snapshot reuse
+      // on replay, see applyDimDeltas' protocol doc)
+      // pmod before the sum: ANSI mode (Spark 4 default) overflows a sum
+      // of full-range xxhash64 values; 2^31-1 keys are plenty for a
+      // replay-detection content hash
+      val addedRow = analyzed.agg(count(lit(1)), sum(col("dl")),
+          sum(pmod(xxhash64(col("doc_id")), lit(2147483647L))))
+        .as[(Long, Option[Long], Option[Long])].collect()(0)
+      val key = addedRow._3.getOrElse(0L)
+
+      if (!dimDeltaKey(store, batch).contains(key)) {
+        // old versions of the replaced docs — pruned partition read,
+        // snapshotted BEFORE the dims are overwritten; feeds the stats
+        // delta and the lemma_stats decrement
+        val oldDocs = pruneDb(store.read("docs"))
+          .join(newIds, Seq("doc_id"), "leftsemi")
+          .select("doc_id", "site", "dl")
+          .localCheckpoint(true)
+        val oldTermRows = pruneDb(store.read("doc_terms"))
+          .join(newIds, Seq("doc_id"), "leftsemi")
+          .select(col("doc_id"), explode(col("terms")).as("term"))
+          .join(oldDocs.select("doc_id", "site"), Seq("doc_id"))
+          .localCheckpoint(true)
+        // lemma_stats delta: df(term, site) += new-version counts −
+        // old-version counts, over ONLY the touched term buckets (exact —
+        // df is a count of distinct docs per (term, site), and each doc
+        // contributes one per distinct term, which is precisely what
+        // doc_terms stores)
+        val plus = analyzed
+          .select(col("site"), explode(map_keys(col("terms"))).as("term"))
+          .groupBy("term", "site").agg(count(lit(1)).as("d"))
+        val minus = oldTermRows.groupBy("term", "site")
+          .agg((-count(lit(1))).as("d"))
+        val removed = oldDocs.agg(count(lit(1)), sum(col("dl")))
+          .as[(Long, Option[Long])].collect()(0)
+        persistDimDelta(spark, store, batch, plus.unionByName(minus),
+          addedRow._1 - removed._1,
+          addedRow._2.getOrElse(0L) - removed._2.getOrElse(0L), key)
+      }
 
       // docs / doc_terms: rewrite ONLY the touched doc buckets
       val newDocs = analyzed.select("doc_id", "url", "site", "lang", "dl")
@@ -167,25 +217,9 @@ object Refresh {
           .unionByName(newDocTerms),
         "doc_terms", dbs)
 
-      // lemma_stats: df(term, site) += new-version counts − old-version
-      // counts, over ONLY the touched term buckets (exact — df is a count
-      // of distinct docs per (term, site), and each doc contributes one
-      // per distinct term, which is precisely what doc_terms stores)
-      val plus = analyzed
-        .select(col("site"), explode(map_keys(col("terms"))).as("term"))
-        .groupBy("term", "site").agg(count(lit(1)).as("d"))
-      val minus = oldTermRows.groupBy("term", "site")
-        .agg((-count(lit(1))).as("d"))
-      applyLemmaStatsDelta(spark, store, plus.unionByName(minus), cfg)
-
-      // corpus stats adjusted from the delta — never re-aggregated
-      val added = analyzed.agg(count(lit(1)), sum(col("dl")))
-        .as[(Long, Option[Long])].collect()(0)
-      val removed = oldDocs.agg(count(lit(1)), sum(col("dl")))
-        .as[(Long, Option[Long])].collect()(0)
-      applyStatsDelta(spark, store,
-        added._1 - removed._1,
-        added._2.getOrElse(0L) - removed._2.getOrElse(0L))
+      // batch-gated application from the persisted snapshot (idempotent
+      // on replay), then snapshot cleanup
+      applyDimDeltas(spark, store, batch, cfg)
     } else {
       // legacy layout: full dim rewrites — and the rewrite UPGRADES the
       // dims to the bucket-partitioned layout, so the next refresh on
@@ -244,10 +278,11 @@ object Refresh {
 
   /** Delete docs by url (no replacement). */
   def deletePages(spark: SparkSession, outDir: String, urls: Seq[String],
-      cfg: IndexBuild.Config = IndexBuild.Config(),
+      cfg0: IndexBuild.Config = IndexBuild.Config(),
       compact: Boolean = true): Unit = {
     import spark.implicits._
     val store = TableStore.open(spark, outDir)
+    val cfg = layoutCfg(store, cfg0)
     val batch = nextBatch(spark, outDir)
     val ids = urls.map(IndexBuild.stableDocId)
     val idsDf = ids.toDF("doc_id")
@@ -272,43 +307,34 @@ object Refresh {
       .distinct().as[Int].collect().toSeq.sorted
     store.write(Seq((batch, touchedBuckets)).toDF("batch", "buckets"),
       "touched_log", SaveMode.Append)
-    // lineage commit row for the delete: keeps the high-water batch
-    // accounting symmetric with refreshPages (nextBatch derives from
-    // max(lineage, index_meta) — a delete without a lineage row would
-    // leave index_meta one below its tombstone batch) and records the
-    // touched-term metric for the audit trail
-    store.write(spark.range(1).select(
-      lit(batch).as("partition_id"),
-      lit(s"delete batch $batch (${urls.size} urls)").as("doc_range"),
-      lit(0L).as("posting_bytes"),
-      lit(touched.count()).as("term_count"),
-      lit(0L).as("posting_count"),
-      lit("COMPLETE").as("status"),
-      lit(null).cast("string").as("error"),
-      current_timestamp().as("ts")),
-      "lineage", SaveMode.Append)
-
     if (incremental) {
-      val oldDocs = pruneDb(store.read("docs"))
-        .join(idsDf, Seq("doc_id"), "leftsemi")
-        .select("doc_id", "site", "dl")
-        .localCheckpoint(true)
-      val oldTermRows = pruneDb(store.read("doc_terms"))
-        .join(idsDf, Seq("doc_id"), "leftsemi")
-        .select(col("doc_id"), explode(col("terms")).as("term"))
-        .join(oldDocs.select("doc_id", "site"), Seq("doc_id"))
-        .localCheckpoint(true)
+      // content key: same order-independent hash as refreshPages, over
+      // the DELETED ids (drives snapshot reuse on replay)
+      val key = idsDf.agg(sum(pmod(xxhash64(col("doc_id")), lit(2147483647L))))
+        .as[Option[Long]].collect()(0).getOrElse(0L)
+      if (!dimDeltaKey(store, batch).contains(key)) {
+        val oldDocs = pruneDb(store.read("docs"))
+          .join(idsDf, Seq("doc_id"), "leftsemi")
+          .select("doc_id", "site", "dl")
+          .localCheckpoint(true)
+        val oldTermRows = pruneDb(store.read("doc_terms"))
+          .join(idsDf, Seq("doc_id"), "leftsemi")
+          .select(col("doc_id"), explode(col("terms")).as("term"))
+          .join(oldDocs.select("doc_id", "site"), Seq("doc_id"))
+          .localCheckpoint(true)
+        val removed = oldDocs.agg(count(lit(1)), sum(col("dl")))
+          .as[(Long, Option[Long])].collect()(0)
+        persistDimDelta(spark, store, batch,
+          oldTermRows.groupBy("term", "site").agg((-count(lit(1))).as("d")),
+          -removed._1, -removed._2.getOrElse(0L), key)
+      }
       rewriteDocBuckets(store,
         pruneDb(store.read("docs")).join(idsDf, Seq("doc_id"), "left_anti"),
         "docs", dbs)
       rewriteDocBuckets(store,
         pruneDb(store.read("doc_terms")).join(idsDf, Seq("doc_id"), "left_anti"),
         "doc_terms", dbs)
-      applyLemmaStatsDelta(spark, store,
-        oldTermRows.groupBy("term", "site").agg((-count(lit(1))).as("d")), cfg)
-      val removed = oldDocs.agg(count(lit(1)), sum(col("dl")))
-        .as[(Long, Option[Long])].collect()(0)
-      applyStatsDelta(spark, store, -removed._1, -removed._2.getOrElse(0L))
+      applyDimDeltas(spark, store, batch, cfg)
     } else {
       store.replace(
         store.read("docs").select("doc_id", "url", "site", "lang", "dl")
@@ -322,6 +348,24 @@ object Refresh {
             .withColumn("db", IndexBuild.docBucketCol(cfg.buckets)),
           "doc_terms", partitionBy = Seq("db"))
     }
+
+    // lineage commit row for the delete — AFTER the dim maintenance (the
+    // batch commit point, symmetric with refreshPages: a crash before
+    // this line hands the replay the same batch id, which the dim-delta
+    // protocol above converges). Keeps the high-water batch accounting
+    // right (nextBatch derives from max(lineage, index_meta) — a delete
+    // without a lineage row would leave index_meta one below its
+    // tombstone batch) and records the touched-term metric.
+    store.write(spark.range(1).select(
+      lit(batch).as("partition_id"),
+      lit(s"delete batch $batch (${urls.size} urls)").as("doc_range"),
+      lit(0L).as("posting_bytes"),
+      lit(touched.count()).as("term_count"),
+      lit(0L).as("posting_count"),
+      lit("COMPLETE").as("status"),
+      lit(null).cast("string").as("error"),
+      current_timestamp().as("ts")),
+      "lineage", SaveMode.Append)
 
     if (!incremental) mergeWithTombstones(spark, outDir, cfg)
     else if (compact) compactTouched(spark, outDir, cfg)
@@ -372,12 +416,15 @@ object Refresh {
   /** Adjust corpus stats (n_docs / avgdl / total_tokens) by the refresh
     * delta — one tiny read + one tiny replace, no O(corpus) aggregation.
     * (Uniqueness is enforced at build time; refresh replaces by doc_id,
-    * so n_distinct tracks n_docs exactly.) */
+    * so n_distinct tracks n_docs exactly.) The applied batch is stamped
+    * INSIDE the same atomically-replaced row (`stats_as_of`), so a
+    * replayed batch can never double-apply this delta. */
   private def applyStatsDelta(spark: SparkSession, store: TableStore,
-      dDocs: Long, dTokens: Long): Unit = {
+      dDocs: Long, dTokens: Long, asOfBatch: Int): Unit = {
     val prev = store.read("stats").collect()(0)
     def carried(name: String, dflt: Int): Int =
       try prev.getAs[Int](name) catch { case _: Exception => dflt }
+    if (carried("stats_as_of", 0) >= asOfBatch) return
     val n = prev.getAs[Long]("n_docs") + dDocs
     val tt = prev.getAs[Long]("total_tokens") + dTokens
     store.replace(spark.range(1).select(
@@ -388,8 +435,73 @@ object Refresh {
       lit(prev.getAs[Int]("shards")).as("shards"),
       lit(carried("n_batches", 1)).as("n_batches"),
       lit(carried("site_groups", IndexBuild.Config().siteGroups)).as("site_groups"),
-      lit(carried("buckets", IndexBuild.Config().buckets)).as("buckets")),
+      lit(carried("buckets", IndexBuild.Config().buckets)).as("buckets"),
+      lit(asOfBatch).as("stats_as_of")),
       "stats")
+  }
+
+  /** Highest batch whose lemma_stats delta has been applied (0 when the
+    * meta table predates this protocol — every live batch id is ≥ 1). */
+  private def lemmaAppliedBatch(store: TableStore): Int =
+    store.readOpt("lemma_stats_meta")
+      .map(_.collect()(0).getAs[Int]("as_of_batch")).getOrElse(0)
+
+  /** Crash-idempotent dim-delta protocol (refresh AND delete paths).
+    *
+    * The incremental dim maintenance has an inherent replay hazard: the
+    * ±df / ±stats deltas are derived from the OLD dim rows, so once the
+    * dims are rewritten a replayed batch recomputes a ZERO delta and the
+    * drift is permanent (a term new to the corpus stays df=0 ⇒ its pages
+    * unsearchable). Protocol, in order:
+    *
+    *  1. persistDimDelta — the computed delta rows + stats scalars are
+    *     persisted via atomic `replace` BEFORE any dim rewrite, keyed by
+    *     a content hash of the batch's doc_ids. A replay of the SAME
+    *     batch (IndexStream re-runs its micro-batch; nextBatch hands out
+    *     the same id until the lineage row lands) finds the snapshot,
+    *     key-matches, and reuses the TRUE delta; a DIFFERENT batch that
+    *     was handed a crashed batch's id key-mismatches and recomputes
+    *     its own (the crashed batch's drift is then what it was before
+    *     this protocol — never worse).
+    *  2. dim rewrites (docs / doc_terms) — idempotent by construction
+    *     (content derived from current state; a re-rewrite is a no-op).
+    *  3. applyDimDeltas — application is GATED per batch:
+    *     lemma_stats_meta.as_of_batch for the df delta, stats_as_of
+    *     inside the stats row for the corpus delta, so a replay never
+    *     double-applies. Remaining non-atomic window: a crash between
+    *     the lemma_stats partition-overwrite commit and the meta stamp
+    *     re-applies the df delta once on replay (the Iceberg production
+    *     mapping folds both into one commit).
+    *  4. the caller drops the snapshot, then writes the lineage row —
+    *     the batch commit point, after which nextBatch moves on. */
+  private def persistDimDelta(spark: SparkSession, store: TableStore,
+      batch: Int, deltaRows: DataFrame, dDocs: Long, dTokens: Long,
+      key: Long): Unit = {
+    store.replace(deltaRows, s"dim_delta_$batch")
+    store.replace(spark.range(1).select(
+      lit(dDocs).as("d_docs"), lit(dTokens).as("d_tokens"),
+      lit(key).as("key")), s"dim_delta_stats_$batch")
+  }
+
+  /** The persisted snapshot's content key for `batch`, if complete. */
+  private def dimDeltaKey(store: TableStore, batch: Int): Option[Long] =
+    if (!store.exists(s"dim_delta_$batch") ||
+        !store.exists(s"dim_delta_stats_$batch")) None
+    else Some(store.read(s"dim_delta_stats_$batch")
+      .collect()(0).getAs[Long]("key"))
+
+  private def applyDimDeltas(spark: SparkSession, store: TableStore,
+      batch: Int, cfg: IndexBuild.Config): Unit = {
+    if (lemmaAppliedBatch(store) < batch) {
+      applyLemmaStatsDelta(spark, store, store.read(s"dim_delta_$batch"), cfg)
+      store.replace(spark.range(1).select(lit(batch).as("as_of_batch")),
+        "lemma_stats_meta")
+    }
+    val d = store.read(s"dim_delta_stats_$batch").collect()(0)
+    applyStatsDelta(spark, store,
+      d.getAs[Long]("d_docs"), d.getAs[Long]("d_tokens"), batch)
+    store.drop(s"dim_delta_$batch")
+    store.drop(s"dim_delta_stats_$batch")
   }
 
   /** Decoded, tombstone-filtered posting rows (term, shard, doc_id, tf,
@@ -457,9 +569,10 @@ object Refresh {
     * atomic commit instead. Spent tombstones (≤ the new as_of) are GC'd
     * after the commit point. */
   def compactTouched(spark: SparkSession, outDir: String,
-      cfg: IndexBuild.Config): Unit = {
+      cfg0: IndexBuild.Config): Unit = {
     import spark.implicits._
     val store = TableStore.open(spark, outDir)
+    val cfg = layoutCfg(store, cfg0)
     val asOf = indexAsOf(spark, outDir)
     val maxBatch = nextBatch(spark, outDir) - 1
     val buckets = pendingTouchedBuckets(spark, store, asOf)
@@ -519,9 +632,10 @@ object Refresh {
     * the bucket-partitioned layout). Current indexes take the O(touched)
     * `compactTouched` path instead. */
   def mergeWithTombstones(spark: SparkSession, outDir: String,
-      cfg: IndexBuild.Config): Unit = {
+      cfg0: IndexBuild.Config): Unit = {
     import spark.implicits._
     val store = TableStore.open(spark, outDir)
+    val cfg = layoutCfg(store, cfg0)
     val asOf = indexAsOf(spark, outDir)
     val maxBatch = nextBatch(spark, outDir) - 1
 
@@ -556,7 +670,20 @@ object Refresh {
         .groupBy("term", "site").agg(count(lit(1)).as("df"))
         .withColumn("bucket", IndexBuild.termBucketCol(cfg.buckets)),
       "lemma_stats", partitionBy = Seq("bucket"))
-    rebuildStats(spark, store, docsDim, cfg)
+    // forward doc_terms from the SAME alive rows when the index predates
+    // the table — without this the one-time legacy upgrade never
+    // completes (incrementalLayout requires doc_terms), and every later
+    // refresh would take this O(everything) path forever
+    if (!store.exists("doc_terms"))
+      store.replace(
+        alive.groupBy("doc_id").agg(collect_set(col("term")).as("terms"))
+          .withColumn("db", IndexBuild.docBucketCol(cfg.buckets)),
+        "doc_terms", partitionBy = Seq("db"))
+    // the full merge folds every batch ≤ maxBatch exactly — stamp both
+    // delta gates so a stale replayed batch can never re-apply over it
+    store.replace(spark.range(1).select(lit(maxBatch).as("as_of_batch")),
+      "lemma_stats_meta")
+    rebuildStats(spark, store, docsDim, cfg, maxBatch)
     // the legacy path is already O(everything) — also (re)writing the
     // prefetch hint here upgrades pre-hint indexes in the same pass
     IndexBuild.writeMidTerms(store)
@@ -567,7 +694,7 @@ object Refresh {
     * only by the legacy full-merge path; the incremental paths adjust
     * stats from the delta instead. */
   private def rebuildStats(spark: SparkSession, store: TableStore,
-      docsDim: DataFrame, cfg: IndexBuild.Config): Unit = {
+      docsDim: DataFrame, cfg: IndexBuild.Config, asOfBatch: Int): Unit = {
     val prevStats = store.read("stats").collect()(0)
     val shards = prevStats.getAs[Int]("shards")
     def carried(name: String, dflt: Int): Int = // older indexes predate the column
@@ -581,7 +708,8 @@ object Refresh {
         .withColumn("shards", lit(shards))
         .withColumn("n_batches", lit(carried("n_batches", 1)))
         .withColumn("site_groups", lit(carried("site_groups", cfg.siteGroups)))
-        .withColumn("buckets", lit(carried("buckets", cfg.buckets))),
+        .withColumn("buckets", lit(carried("buckets", cfg.buckets)))
+        .withColumn("stats_as_of", lit(asOfBatch)),
       "stats")
   }
 }

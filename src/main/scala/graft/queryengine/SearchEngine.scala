@@ -205,7 +205,10 @@ final class SearchEngine(
       lastSurviving = Seq.empty
       dropRankedDf()
       state = load()
-      loadedFp = fp
+      // re-stamp AFTER load — load() itself may run the debt-cap
+      // compaction (index_meta version bumps), and stamping the pre-load
+      // fp would make the very next query repeat the whole reload
+      loadedFp = fingerprint()
       prefetchHot()
     }
   }
@@ -335,7 +338,7 @@ final class SearchEngine(
   // load: unbounded driver memory on a Common-Crawl-scale site universe
   // and an O(corpus) job per reload; the per-site count is only ever
   // read by scoped queries, which name their site.)
-  private val siteCountCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private val siteCountCache = new SearchEngine.BoundedLruLong(1 << 16)
   private def docCountOfSite(s: String): Long =
     siteCountCache.getOrElseUpdate(s,
       docsDf.filter(col("site") === s).count())
@@ -344,8 +347,10 @@ final class SearchEngine(
   // cleared on reload). Saves one Spark job per repeated query term —
   // term stats caching is standard in IR engines; at 10^12 docs
   // lemma_stats is huge but the per-query term set is tiny, so an LRU
-  // over point lookups is exactly right.
-  private val dfCache = scala.collection.mutable.HashMap.empty[String, Long]
+  // over point lookups is exactly right — and it IS an LRU (bounded),
+  // not a grow-forever map: a long-lived engine serving an unbounded
+  // distinct-term stream must not accrete the vocabulary on the driver.
+  private val dfCache = new SearchEngine.BoundedLruLong(1 << 18)
 
   /** Hot-posting cache: collected segment rows per term, bounded by a
     * RUNNING byte counter with loop-eviction (a single put may evict
@@ -430,6 +435,12 @@ final class SearchEngine(
   def search(query: String, offset: Int, limit: Int,
       siteUrl: Option[String] = None): SearchResponse = {
     ensureFresh()
+    // REFERENCE PARITY, deliberately preserved (SURVEY H6): the cache key
+    // is the query string ALONE — not (query, siteUrl) — and lastQuery is
+    // assigned before any work, both exactly as the reference does
+    // (SearchServiceImpl.java:53-56). Yes, that means a page-2 request
+    // scoped to another site replays the previous site's result list;
+    // the reference observably behaves this way on its own query set.
     if (lastQuery == query && offset != 0) {
       return lastRankedDf match {
         case Some(df) => sliceFromDf(df, lastCount, lastSurviving, offset, limit)
@@ -839,5 +850,35 @@ object Statistics {
         col("pages"), col("lemmas"))
 
     detailed.unionByName(totals).orderBy("site")
+  }
+}
+
+object SearchEngine {
+  /** Bounded access-ordered LRU over tiny (String -> Long) point lookups
+    * (term dfs, per-site doc counts). Entries are ~100 bytes so the cap
+    * bounds a long-lived engine serving an unbounded distinct-key stream
+    * (a 10^12-doc vocabulary) to tens of MB; the byte-budgeted posting
+    * cache next to it already evicts, these must too. */
+  private[queryengine] final class BoundedLruLong(maxEntries: Int) {
+    private val map =
+      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > maxEntries
+      }
+    def contains(k: String): Boolean = map.containsKey(k)
+    /** Callers fill misses before reading (globalDf's contract). */
+    def apply(k: String): Long = {
+      val v = map.get(k)
+      require(v != null, s"BoundedLruLong: missing key $k")
+      v.longValue
+    }
+    def update(k: String, v: Long): Unit = { map.put(k, v); () }
+    def getOrElseUpdate(k: String, v: => Long): Long = {
+      val cur = map.get(k)
+      if (cur != null) cur.longValue
+      else { val x = v; map.put(k, x); x }
+    }
+    def clear(): Unit = map.clear()
   }
 }

@@ -241,7 +241,11 @@ object Wand {
               if (c.curBlockLastDoc < minBlockEnd) minBlockEnd = c.curBlockLastDoc
               j2 += 1
             }
-            if (ub <= th && minBlockEnd > cand) {
+            // strict <: TopK keeps ALL ties with the k-th score, and a
+            // TIGHT upper bound (TfSum's ub is achievable) at ub == th
+            // can sit over a doc scoring exactly th — skipping it would
+            // drop a tie the exact path keeps
+            if (ub < th && minBlockEnd > cand) {
               cursors(0).advanceTo(minBlockEnd + 1)
             } else cursors(0).next()
           } else cursors(0).next()

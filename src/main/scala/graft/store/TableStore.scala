@@ -219,8 +219,15 @@ final class ParquetStore(val spark: SparkSession, val root: String)
     writeVersion(staged, nextV) // completeness marker — written LAST
     val f = fs
     f.delete(new Path(oldAside), true) // stale from an earlier crash
-    if (f.exists(new Path(path))) f.rename(new Path(path), new Path(oldAside))
-    f.rename(new Path(staged), new Path(path))
+    // FAIL LOUDLY on either rename (same contract as append's staged
+    // rename): a false return here would leave the OLD table in place
+    // while the caller proceeds as if it was replaced — e.g. a compaction
+    // that then GCs tombstones against an index that still contains them
+    if (f.exists(new Path(path)))
+      require(f.rename(new Path(path), new Path(oldAside)),
+        s"replace: rename $path -> $oldAside failed")
+    require(f.rename(new Path(staged), new Path(path)),
+      s"replace: rename $staged -> $path failed (old table at $oldAside)")
     f.delete(new Path(oldAside), true)
     // drop any cached plans/file listings for the location — readers
     // re-list on next access
