@@ -283,6 +283,77 @@ class RefreshSpec extends AnyFunSuite {
       "incremental stats delta must equal a fresh aggregation")
   }
 
+  test("a refresh replayed after a crash between the dim rewrites and the delta apply converges exactly") {
+    spark.sparkContext.setLogLevel("WARN")
+    import scala.sys.process._
+    import org.apache.spark.sql.functions.{col, count, explode, lit, sum}
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-refresh-replay").toString
+    val idx = s"$work/idx"
+    val cfgP = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, nBatches = 1, buckets = 16)
+    val pages = CorpusGen.generate(spark, CorpusGen.Config(2, 40)).collect().toSeq
+    spark.createDataset(pages).write.mode("overwrite").parquet(s"$work/pages")
+    IndexBuild.run(spark,
+      spark.read.parquet(s"$work/pages")
+        .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow]),
+      idx, cfgP)
+    IndexBuild.mergeSegments(spark, idx)
+
+    val targetUrl = spark.read.parquet(s"$idx/docs")
+      .filter(col("dl") > 0).orderBy("url").select("url").as[String].head()
+    val l = RuDict.contentLemmas
+    val newPage = page(targetUrl, html(l(190), s"${l(190)} ${l(191)} ${l(192)}"))
+    def ds = spark.createDataset(Seq(newPage))
+
+    val statsBefore = spark.read.parquet(s"$idx/lemma_stats")
+      .select("term", "site", "df").as[(String, String, Long)].collect().toSet
+
+    // CRASH INJECTION at the exact window the protocol exists for: the
+    // dims are rewritten, the delta snapshot is persisted, and the
+    // lemma_stats application dies (its partition-overwrite stages inside
+    // the lemma_stats dir — immutable blocks even root, reads unaffected)
+    if (Seq("chattr", "+i", s"$idx/lemma_stats").! != 0)
+      cancel("chattr +i unsupported on this filesystem")
+    try intercept[Throwable] { Refresh.refreshPages(spark, idx, ds, cfgP) }
+    finally { Seq("chattr", "-i", s"$idx/lemma_stats").! : Unit }
+    // the crash window is real: doc_terms already carries the NEW terms
+    // while lemma_stats is still the pre-refresh table — exactly the
+    // state the old code replayed into a permanent zero delta
+    val targetId = IndexBuild.stableDocId(targetUrl)
+    assert(spark.read.parquet(s"$idx/doc_terms")
+      .filter(col("doc_id") === targetId)
+      .select(explode(col("terms"))).as[String].collect().toSet
+      .contains(l(191)), "fixture: dims must be rewritten before the crash")
+    assert(spark.read.parquet(s"$idx/lemma_stats")
+      .select("term", "site", "df").as[(String, String, Long)].collect().toSet
+      == statsBefore, "fixture: the df delta must NOT be applied yet")
+
+    // REPLAY (IndexStream re-runs its micro-batch; nextBatch hands out
+    // the same id because the lineage row never landed) — the persisted
+    // snapshot must apply the TRUE delta, not a zero recomputed from the
+    // already-new dims
+    Refresh.refreshPages(spark, idx, ds, cfgP)
+
+    // converged: lemma_stats equals a fresh recomputation from the dims
+    val expect = spark.read.parquet(s"$idx/doc_terms")
+      .select(col("doc_id"), explode(col("terms")).as("term"))
+      .join(spark.read.parquet(s"$idx/docs").select("doc_id", "site"), Seq("doc_id"))
+      .groupBy("term", "site").agg(count(lit(1)).as("df"))
+      .as[(String, String, Long)].collect().toSet
+    val got = spark.read.parquet(s"$idx/lemma_stats")
+      .select("term", "site", "df")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expect, "replayed refresh must leave lemma_stats exact")
+    // corpus stats exact too
+    val st = spark.read.parquet(s"$idx/stats").collect()(0)
+    assert(st.getAs[Long]("n_docs") == pages.size.toLong)
+    assert(st.getAs[Long]("total_tokens") ==
+      spark.read.parquet(s"$idx/docs").agg(sum(col("dl"))).as[Long].head())
+    // and the snapshot tables were cleaned up
+    assert(!new java.io.File(idx).listFiles().exists(_.getName.startsWith("dim_delta")),
+      "applied snapshots must be dropped")
+  }
+
   test("merge with a LARGE tombstone set stays rank-identical (distributed tombstone join)") {
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-refresh-big").toString
