@@ -354,6 +354,52 @@ class RefreshSpec extends AnyFunSuite {
       "applied snapshots must be dropped")
   }
 
+  test("a refresh with a MISMATCHED caller Config takes the index's persisted layout") {
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-refresh-layout").toString
+    val idx = s"$work/idx"
+    // deliberately non-default layout: buckets=64 (default 16), shards=8/4
+    val buildCfg = IndexBuild.Config(shards = 8, siteGroups = 4,
+      saltThresholdDf = 60L, nBatches = 1, buckets = 64)
+    val pages = CorpusGen.generate(spark, CorpusGen.Config(2, 40)).collect().toSeq
+    spark.createDataset(pages).write.mode("overwrite").parquet(s"$work/pages")
+    IndexBuild.run(spark,
+      spark.read.parquet(s"$work/pages")
+        .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow]),
+      idx, buildCfg)
+    IndexBuild.mergeSegments(spark, idx)
+
+    val targetUrl = spark.read.parquet(s"$idx/docs")
+      .filter(col("dl") > 0).orderBy("url").select("url").as[String].head()
+    val l = RuDict.contentLemmas
+    val newPage = page(targetUrl, html(l(195), s"${l(195)} ${l(196)} ${l(2)}"))
+    // the hazard this pins: a CLI-shaped caller passing the DEFAULT cfg
+    // (buckets=16) against the buckets=64 index — deltas/touched_log/
+    // lemma_stats partitions would hash mod 16 while the base uses mod 64
+    Refresh.refreshPages(spark, idx, spark.createDataset(Seq(newPage)),
+      IndexBuild.Config())
+
+    // dims stayed exact under the persisted layout
+    val expect = spark.read.parquet(s"$idx/doc_terms")
+      .select(col("doc_id"), explode(col("terms")).as("term"))
+      .join(spark.read.parquet(s"$idx/docs").select("doc_id", "site"), Seq("doc_id"))
+      .groupBy("term", "site").agg(count(lit(1)).as("df"))
+      .as[(String, String, Long)].collect().toSet
+    val got = spark.read.parquet(s"$idx/lemma_stats")
+      .select("term", "site", "df").as[(String, String, Long)].collect().toSet
+    assert(got == expect, "lemma_stats must stay exact under the persisted layout")
+    // every lemma_stats row sits in its CORRECT mod-64 bucket partition
+    val misplaced = spark.read.parquet(s"$idx/lemma_stats")
+      .filter(col("bucket") =!= IndexBuild.termBucketCol(64)).count()
+    assert(misplaced == 0, "delta application must hash with the index's bucket count")
+    // and the refreshed page is searchable by its new term
+    val eng = new SearchEngine(spark, idx, s"$work/pages", ReferenceTfSum)
+    val hits = eng.search(l(196), 0, 10, None).data.map(i => i.site + i.uri)
+    assert(hits.contains(targetUrl), "refreshed page must be searchable")
+  }
+
   test("merge with a LARGE tombstone set stays rank-identical (distributed tombstone join)") {
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-refresh-big").toString
