@@ -36,6 +36,10 @@ import graft.store.TableStore
   */
 object Refresh {
 
+  /** Disambiguates a delete's dim-delta snapshot key from a refresh's
+    * over the same doc_ids (see the delete path's key comment). */
+  private val DeleteKeySalt = 0x64656c6574655f21L // "delete_!"
+
   /** High-water batch id the current `index` dir is merged up to. */
   def indexAsOf(spark: SparkSession, outDir: String): Int = {
     val store = TableStore.open(spark, outDir)
@@ -72,10 +76,20 @@ object Refresh {
       val r = df.collect()(0)
       def get(k: String, d: Int): Int =
         try r.getAs[Int](k) catch { case scala.util.control.NonFatal(_) => d }
+      val shards = get("shards", cfg.shards)
+      // joint fallback: a stats row that carries shards but predates the
+      // site_groups column must not mix persisted shards with the
+      // caller's siteGroups — Config requires shards % siteGroups == 0,
+      // and e.g. shards=6 with a caller default of 4 would throw and
+      // brick every refresh/delete/compaction on that index. When the
+      // caller's value doesn't divide the persisted shards, fall back to
+      // 1 (always valid; pre-site_groups indexes had no site routing).
+      val siteGroups = get("site_groups",
+        if (shards % cfg.siteGroups == 0) cfg.siteGroups else 1)
       cfg.copy(
-        shards = get("shards", cfg.shards),
+        shards = shards,
         nBatches = get("n_batches", cfg.nBatches),
-        siteGroups = get("site_groups", cfg.siteGroups),
+        siteGroups = siteGroups,
         buckets = get("buckets", cfg.buckets))
     }.getOrElse(cfg)
 
@@ -309,8 +323,15 @@ object Refresh {
       "touched_log", SaveMode.Append)
     if (incremental) {
       // content key: same order-independent hash as refreshPages, over
-      // the DELETED ids (drives snapshot reuse on replay)
-      val key = idsDf.agg(sum(pmod(xxhash64(col("doc_id")), lit(2147483647L))))
+      // the DELETED ids, XOR an op salt — a crashed refresh of doc set S
+      // followed by a delete of the SAME set S reuses the crashed batch
+      // id (nextBatch moves only at the lineage row), and without the
+      // salt it would key-match the refresh's snapshot and apply the
+      // wrong delta (ghost dfs for a deleted doc, n_docs one too high,
+      // permanently). The salt makes the two ops' keys disjoint; a
+      // replay of the SAME delete still key-matches its own snapshot.
+      val key = DeleteKeySalt ^
+        idsDf.agg(sum(pmod(xxhash64(col("doc_id")), lit(2147483647L))))
         .as[Option[Long]].collect()(0).getOrElse(0L)
       if (!dimDeltaKey(store, batch).contains(key)) {
         val oldDocs = pruneDb(store.read("docs"))

@@ -64,7 +64,14 @@ final class SearchEngine(
       nDocs: Long, avgdl: Double, shards: Int, siteGroups: Int,
       buckets: Int,
       docsDf: DataFrame, lemmaStatsDf: DataFrame, segmentsDf: DataFrame,
-      headTerms: Set[String])
+      headTerms: Set[String],
+      // fingerprint to stamp as "loaded": taken after the debt-cap
+      // compaction (so its own index_meta bump doesn't force a second
+      // reload) but BEFORE the table reads — an external refresh that
+      // commits while load() runs lands after this capture, so the next
+      // ensureFresh() sees a changed fingerprint and reloads, instead of
+      // latching state read before that commit as current
+      fpAtLoad: Long)
 
   private def fingerprint(): Long =
     store.fingerprint(Seq("index_meta", "docs", "lemma_stats"))
@@ -102,8 +109,6 @@ final class SearchEngine(
 
   private def load(): IndexState = {
     val stats = store.read("stats").collect()(0)
-    val docsDf = store.read("docs").cache()
-    val lemmaStatsDf = store.read("lemma_stats").cache()
     val buckets =
       try stats.getAs[Int]("buckets") catch { case _: Exception => IndexBuild.Config().buckets }
     // Delta-overlay read path (deferred compaction, Refresh/IndexStream
@@ -144,6 +149,10 @@ final class SearchEngine(
         }
       }
     }
+    // stamp point: post-compaction, pre-read (see IndexState.fpAtLoad)
+    val fpAtLoad = fingerprint()
+    val docsDf = store.read("docs").cache()
+    val lemmaStatsDf = store.read("lemma_stats").cache()
     val asOf =
       if (store.exists("index_meta"))
         store.read("index_meta").collect()(0).getAs[Int]("as_of_batch")
@@ -181,11 +190,11 @@ final class SearchEngine(
       // older indexes predate the column → build-default bucket count
       buckets = buckets,
       docsDf = docsDf, lemmaStatsDf = lemmaStatsDf, segmentsDf = segmentsDf,
-      headTerms = headTerms)
+      headTerms = headTerms, fpAtLoad = fpAtLoad)
   }
 
   private var state: IndexState = load()
-  private var loadedFp: Long = fingerprint()
+  private var loadedFp: Long = state.fpAtLoad
   // (prefetchHot() is invoked at the end of the class body, after the
   // caches it populates are initialized — constructor statement order)
 
@@ -205,10 +214,11 @@ final class SearchEngine(
       lastSurviving = Seq.empty
       dropRankedDf()
       state = load()
-      // re-stamp AFTER load — load() itself may run the debt-cap
-      // compaction (index_meta version bumps), and stamping the pre-load
-      // fp would make the very next query repeat the whole reload
-      loadedFp = fingerprint()
+      // the stamp is captured INSIDE load(), after its debt-cap
+      // compaction (so that bump doesn't force a second reload) but
+      // before its reads (so an external commit racing the load is
+      // detected by the next query, not latched as seen)
+      loadedFp = state.fpAtLoad
       prefetchHot()
     }
   }
@@ -866,7 +876,11 @@ object SearchEngine {
             e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
           size() > maxEntries
       }
-    def contains(k: String): Boolean = map.containsKey(k)
+    // get(), not containsKey(): containsKey does NOT count as an access
+    // in an access-ordered LinkedHashMap, so a full cache could evict a
+    // current query's hit term while its misses are inserted, and the
+    // final apply() on the hit would throw. get() touches the entry.
+    def contains(k: String): Boolean = map.get(k) != null
     /** Callers fill misses before reading (globalDf's contract). */
     def apply(k: String): Long = {
       val v = map.get(k)

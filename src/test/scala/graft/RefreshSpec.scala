@@ -400,6 +400,76 @@ class RefreshSpec extends AnyFunSuite {
     assert(hits.contains(targetUrl), "refreshed page must be searchable")
   }
 
+  test("a delete reusing a crashed refresh's batch id must not apply the refresh's snapshot delta") {
+    spark.sparkContext.setLogLevel("WARN")
+    import scala.sys.process._
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-refresh-opkey").toString
+    val idx = s"$work/idx"
+    val cfgP = IndexBuild.Config(shards = 4, saltThresholdDf = 60L, nBatches = 1, buckets = 16)
+    val pages = CorpusGen.generate(spark, CorpusGen.Config(2, 40)).collect().toSeq
+    spark.createDataset(pages).write.mode("overwrite").parquet(s"$work/pages")
+    IndexBuild.run(spark,
+      spark.read.parquet(s"$work/pages")
+        .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow]),
+      idx, cfgP)
+    IndexBuild.mergeSegments(spark, idx)
+
+    // a term in NO existing doc — the refreshed page's new content
+    val statsTerms = spark.read.parquet(s"$idx/lemma_stats")
+      .select("term").as[String].collect().toSet
+    val l = RuDict.contentLemmas
+    val freshTerm = (150 until 200).map(l).find(t => !statsTerms(t))
+      .getOrElse(fail("fixture: no unused lemma available"))
+    val targetUrl = spark.read.parquet(s"$idx/docs")
+      .filter(col("dl") > 0).orderBy("url").select("url").as[String].head()
+    val newPage = page(targetUrl, html(freshTerm, s"$freshTerm $freshTerm ${l(2)}"))
+
+    // crash the refresh after its dim rewrites + snapshot persist, before
+    // the lemma_stats apply (same injection as the replay test)
+    if (Seq("chattr", "+i", s"$idx/lemma_stats").! != 0)
+      cancel("chattr +i unsupported on this filesystem")
+    try intercept[Throwable] {
+      Refresh.refreshPages(spark, idx, spark.createDataset(Seq(newPage)), cfgP)
+    } finally { Seq("chattr", "-i", s"$idx/lemma_stats").! : Unit }
+    assert(new java.io.File(idx).listFiles().exists(_.getName.startsWith("dim_delta")),
+      "fixture: the crashed refresh must leave its snapshot behind")
+
+    // an operator deletes the SAME url: nextBatch hands out the same id
+    // (the refresh's lineage row never landed). Without the op salt in
+    // the snapshot key the delete key-matched the refresh's snapshot and
+    // applied ITS delta — +new-version dfs for a doc being deleted and
+    // Δdocs=0 — permanently corrupting lemma_stats and n_docs.
+    Refresh.deletePages(spark, idx, Seq(targetUrl), cfgP)
+
+    val targetId = IndexBuild.stableDocId(targetUrl)
+    assert(spark.read.parquet(s"$idx/docs")
+      .filter(col("doc_id") === targetId).count() == 0, "doc must be gone")
+    val st = spark.read.parquet(s"$idx/stats").collect()(0)
+    assert(st.getAs[Long]("n_docs") == pages.size - 1L,
+      "the DELETE's Δdocs=-1 must be applied, not the crashed refresh's Δdocs=0")
+    assert(!spark.read.parquet(s"$idx/lemma_stats")
+      .select("term").as[String].collect().toSet.contains(freshTerm),
+      "a deleted doc's new-version term must not survive as a ghost df")
+  }
+
+  test("a legacy stats row lacking site_groups falls back to a layout that cannot brick refresh") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-layout-legacy").toString
+    val store = graft.store.TableStore.open(spark, work)
+    // persisted shards=6, no site_groups column; the caller default
+    // siteGroups=4 does not divide 6 — a per-field fallback would make
+    // Config's require throw and fail every refresh/delete/compaction
+    store.replace(Seq(6).toDF("shards"), "stats")
+    val out = Refresh.layoutCfg(store, IndexBuild.Config())
+    assert(out.shards == 6)
+    assert(out.siteGroups == 1, "non-dividing caller siteGroups must fall back to 1")
+    // when the caller's value DOES divide the persisted shards, keep it
+    store.replace(Seq(8).toDF("shards"), "stats")
+    assert(Refresh.layoutCfg(store, IndexBuild.Config()).siteGroups == 4)
+  }
+
   test("merge with a LARGE tombstone set stays rank-identical (distributed tombstone join)") {
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-refresh-big").toString
