@@ -118,7 +118,12 @@ final class ControlApi(
     val hasCode = corpus.columns.contains("code")
     val cols = Seq(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")) ++
       (if (hasCode) Seq(col("code")) else Nil)
-    val row = corpus.filter(col("url") === u).select(cols: _*).collect().headOption
+    // latest-wins on warc_ts: a re-crawled corpus can hold several
+    // versions of the url, and an arbitrary collect() head could hand
+    // refreshPages a stale version (IndexStream.ingestBatch dedupes the
+    // same way)
+    val row = corpus.filter(col("url") === u).select(cols: _*)
+      .orderBy(col("warc_ts").desc).limit(1).collect().headOption
     // code may arrive as any integral width, or null (a crawl row that
     // never connected): read numerically; null / no row → the 404 analogue
     val code = row.map { r =>

@@ -68,8 +68,11 @@ object GraftCli {
       case "refresh" :: pagesDir :: indexDir :: url :: Nil =>
         // re-index one page from the (updated) pages table — §3.3 indexPage
         import org.apache.spark.sql.functions.col
+        // latest-wins on warc_ts: a re-crawled pages table can hold
+        // several versions of the url; refresh the newest one
         val one = graft.store.TableStore.open(spark, pagesDir)
           .read("").filter(col("url") === url)
+          .orderBy(col("warc_ts").desc).limit(1)
           .as[PageRow](Encoders.product[PageRow])
         require(one.count() == 1, s"url not found in $pagesDir: $url")
         graft.index.Refresh.refreshPages(spark, indexDir, one)
@@ -112,7 +115,13 @@ object GraftCli {
         import org.apache.spark.sql.functions.col
         val sites = graft.store.TableStore.open(spark, pagesDir).read("")
           .select(col("url")).as[String](Encoders.STRING)
-          .map(u => "https://" + IndexBuild.siteOf(u))(Encoders.STRING)
+          // scheme from the url itself, not a hardcoded https:// — an
+          // http:// corpus must not fail every indexPage site check
+          .map { u =>
+            val i = u.indexOf("://")
+            val scheme = if (i >= 0) u.substring(0, i + 3) else "https://"
+            scheme + IndexBuild.siteOf(u)
+          }(Encoders.STRING)
           .distinct().collect().toSeq
         val api = new ControlApi(spark, pagesDir, indexDir, sites)
         val resp = api.indexPage(url)

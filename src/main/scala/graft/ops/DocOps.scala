@@ -34,11 +34,26 @@ object DocOps {
   def events(spark: SparkSession, dir: String): DataFrame =
     graft.store.TableStore.open(spark, dir).read("events.parquet")
 
-  /** doc_id → tokens (F2/F4 Latin mode; one row per occurrence). */
-  def tokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+  /** doc_id → tokens (F2/F4 Latin mode; one row per occurrence).
+    * Extra columns to carry through ride along via `carry`. */
+  def tokens(docs: DataFrame, carry: Column*): DataFrame =
+    docs.select(col("doc_id") +: carry :+
+        explode(split(lower(col("text")), "[^a-z]+")).as("term"): _*)
       .filter(length(col("term")) >= 3)
+
+  // at most ONE cached plan per call site stays pinned: each call
+  // unpersists the previous call's cache before pinning its own, so a
+  // long-lived session calling these repeatedly doesn't accumulate dead
+  // storage blocks (Spark's CacheManager holds strong refs — entries
+  // are never GC-collected)
+  private val cacheSlots =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def swapCached(slot: String, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val prev = cacheSlots.put(slot, cached)
+    if (prev != null && (prev ne cached)) prev.unpersist()
+    cached
+  }
 
   /** A1 — tf per (doc, term): the `index_t.rating` analogue. */
   def tfPostings(spark: SparkSession, dir: String): DataFrame =
@@ -54,10 +69,7 @@ object DocOps {
 
   /** A2/F6 — per-source df (reference df is per-site). */
   def dfBySource(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
-      .select(col("doc_id"), col("source"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= 3)
+    tokens(documents(spark, dir), col("source"))
       .groupBy("term", "source").agg(countDistinct(col("doc_id")).as("df"))
       .orderBy("term", "source")
 
@@ -140,7 +152,7 @@ object DocOps {
     val docs = documents(spark, dir)
     val n = docs.count().toDouble
     val terms = survivingTerms(spark, dir)
-    val tok = tokens(docs).cache()
+    val tok = swapCached("bm25.tok", tokens(docs))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val avgdl = docs.select("doc_id").join(dl, Seq("doc_id"), "left")
       .na.fill(0L, Seq("dl")).agg(avg("dl")).collect()(0).getDouble(0)
@@ -174,9 +186,7 @@ object DocOps {
   /** F6 — source-scoped tf-sum search (site scoping analogue). */
   def tfsumScoped(spark: SparkSession, dir: String, source: String = "src3"): DataFrame = {
     val docs = documents(spark, dir).filter(col("source") === source)
-    val scopedTok = docs.select(col("doc_id"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= 3)
+    val scopedTok = tokens(docs)
     val nScoped = docs.count()
     val dfScoped = scopedTok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     import spark.implicits._
@@ -206,9 +216,7 @@ object DocOps {
 
   /** A8 — lemma (term) counts per site. */
   def statsLemmas(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("source"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-      .filter(length(col("term")) >= 3)
+    tokens(documents(spark, dir), col("source"))
       .groupBy("source").agg(countDistinct(col("term")).as("lemmas"))
       .orderBy("source")
 
@@ -226,9 +234,7 @@ object DocOps {
   def dfMerge(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
     def half(p: Column): DataFrame =
-      docs.filter(p)
-        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
-        .filter(length(col("term")) >= 3)
+      tokens(docs.filter(p))
         .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     half(col("doc_id") % 2 === 0).union(half(col("doc_id") % 2 === 1))
       .groupBy("term").agg(sum("df").as("df"))
@@ -266,7 +272,7 @@ object DocOps {
     * shingles are the skew risk; production path uses MinHash LSH below
     * to avoid the quadratic blowup. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val sh = shingles(documents(spark, dir)).cache()
+    val sh = swapCached("ngram.sh", shingles(documents(spark, dir)))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
@@ -337,6 +343,20 @@ object DocOps {
   }
 
   /** Register the native cosine expression (idempotent per session). */
+  /** The constant md5-derived hyperplane matrix shared by
+    * [[annLshBuckets]] and [[embedNearDup]] — plane p, dim i weight =
+    * first md5 nibble of "p:i" minus 7.5 (== instr('0..f', hex[0]) - 8.5
+    * on the DuckDB oracle side). One definition so the two LSH families
+    * can never diverge bit-wise. */
+  private def hyperplanes(nPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    def weight(p: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((h(0) >> 4) & 0xf).toDouble - 7.5
+    }
+    (0 until nPlanes).map(p => (0 until dims).map(i => weight(p, i)))
+  }
+
   private def withCosine(spark: SparkSession): Unit =
     if (!spark.catalog.functionExists("graft_cosine"))
       graft.functions.VecExpressions.register(spark)
@@ -376,13 +396,7 @@ object DocOps {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dims = emb.select(size(col("v"))).head.getInt(0)
-    def weight(p: Int, i: Int): Double = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ((h(0) >> 4) & 0xf).toDouble - 7.5 // == instr('0..f', hex[0]) - 8.5
-    }
-    val planes: Seq[Seq[Double]] =
-      (0 until nPlanes).map(p => (0 until dims).map(i => weight(p, i)))
+    val planes = hyperplanes(nPlanes, dims)
     emb.withColumn("planes", typedLit(planes))
       .withColumn("bucket", expr(
         s"""aggregate(transform(sequence(0, ${nPlanes - 1}, 1), p ->
@@ -417,13 +431,7 @@ object DocOps {
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dims = emb.select(size(col("v"))).head.getInt(0)
-    def weight(p: Int, i: Int): Double = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ((h(0) >> 4) & 0xf).toDouble - 7.5
-    }
-    val planes: Seq[Seq[Double]] =
-      (0 until nPlanes).map(p => (0 until dims).map(i => weight(p, i)))
+    val planes = hyperplanes(nPlanes, dims)
     val nBands = nPlanes / bandSize
     // per-vector band signatures: bit p of band b = sign of plane
     // (b*bandSize + p)'s projection

@@ -49,7 +49,8 @@ object Multimodal {
         val body = {
           val t = text.getBytes(StandardCharsets.UTF_8)
           val need = 256 + (id % 1024).toInt
-          Array.tabulate(need)(i => t(i % math.max(t.length, 1)))
+          if (t.isEmpty) Array.fill[Byte](need)(0) // empty text: zero body
+          else Array.tabulate(need)(i => t(i % t.length))
         }
         MediaRow(id, kind, StubCodec.encodeHeader(w, h, dur) ++ body, w, h, dur)
       }
@@ -85,7 +86,8 @@ object Multimodal {
       it.map { m =>
         StubCodec.decode(m.payload) match {
           case Some((w, h, d)) =>
-            (m.media_id, m.kind, true, w, h, d, w == m.width && h == m.height)
+            (m.media_id, m.kind, true, w, h, d,
+              w == m.width && h == m.height && d == m.duration_ms)
           case None =>
             (m.media_id, m.kind, false, -1, -1, -1, false)
         }
@@ -138,7 +140,8 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val body = m.payload.drop(16)
-      val step = math.max(1, body.length / n)
+      // n <= 0 is "sample nothing", not a division by zero
+      val step = math.max(1, body.length / math.max(n, 1))
       (0 until math.min(n, body.length)).iterator.map { f =>
         val start = f * step
         Frame(m.media_id, f, body.slice(start, math.min(start + step, body.length)))

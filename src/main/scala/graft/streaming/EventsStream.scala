@@ -77,7 +77,12 @@ object EventsStream {
           out += SessionUpdate(user, st.n, st.sum, closed = true)
           st = SessState(0L, 0.0, Long.MinValue)
         }
-        st = SessState(st.n + 1, st.sum + v, tsMs)
+        // max, not assignment: a late-but-within-watermark event from a
+        // LATER micro-batch must not regress the session's time horizon
+        // (a regressed lastTsMs splits the session spuriously on the
+        // next on-time event and fires the idle timeout early); in the
+        // sorted batch-parity path max is the identity
+        st = SessState(st.n + 1, st.sum + v, math.max(st.lastTsMs, tsMs))
       }
       state.update(st)
       if (idleTimeout && st.n > 0L) {

@@ -76,6 +76,43 @@ class ControlApiSpec extends AnyFunSuite {
       "successful indexPage must commit a new batch")
   }
 
+  test("indexPage refreshes the LATEST corpus version when the url has several rows") {
+    val work = Files.createTempDirectory("graft-ctl-latest").toString
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    CorpusGen.generate(spark, CorpusGen.Config(2, 40))
+      .write.mode("overwrite").parquet(s"$work/pages")
+    val ds = spark.read.parquet(s"$work/pages")
+      .as[graft.corpus.PageRow](org.apache.spark.sql.Encoders.product[graft.corpus.PageRow])
+    IndexBuild.run(spark, ds, s"$work/idx", cfg)
+    IndexBuild.mergeSegments(spark, s"$work/idx")
+
+    // a marker lemma no existing doc carries
+    val statsTerms = spark.read.parquet(s"$work/idx/lemma_stats")
+      .select("term").as[String].collect().toSet
+    val marker = (150 until 200).map(graft.core.RuDict.contentLemmas)
+      .find(t => !statsTerms(t)).getOrElse(fail("no unused lemma"))
+    val url = spark.read.parquet(s"$work/pages")
+      .orderBy("url").select("url").as[String].head()
+    // append a NEWER version of the url carrying the marker — a re-crawl
+    val h = s"<html><head><title>$marker</title></head><body><p>$marker $marker</p></body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+    val newer = graft.corpus.PageRow(url,
+      new java.sql.Timestamp(CorpusGen.Epoch + 86400000L), h,
+      graft.core.HtmlText.cleanToText(new String(h, StandardCharsets.UTF_8)), "ru")
+    spark.createDataset(Seq(newer)).write.mode("append").parquet(s"$work/pages")
+
+    val api = new ControlApi(spark, s"$work/pages", s"$work/idx",
+      Seq("https://site0.test", "https://site1.test"), cfg)
+    assert(api.indexPage(url).result, "indexPage must succeed")
+    val eng = new graft.queryengine.SearchEngine(
+      spark, s"$work/idx", s"$work/pages", graft.core.ReferenceTfSum)
+    val hits = eng.search(marker, 0, 10, None).data.map(i => i.site + i.uri)
+    assert(hits.contains(url),
+      "the NEWEST corpus version (latest warc_ts) must be the indexed one")
+  }
+
   test("monitor: double start refused; stop when idle refused; graceful stop resumes") {
     val work = Files.createTempDirectory("graft-ctl2").toString
     CorpusGen.generate(spark, CorpusGen.Config(2, 400))

@@ -76,6 +76,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Set((1L, 2L, 3.0, true)))
     } finally q.stop()
   }
+
+  test("a late-but-within-watermark event must not regress the session horizon and split it") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = ms.toDF.toDF("user_id", "ts", "value")
+    val sess = EventsStream.sessionize(spark, df,
+      gapMinutes = 30, idleTimeout = true, watermarkDelay = "30 minutes")
+    val q = sess.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_test").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+      ms.addData((1L, ts(60), 1.0)) // on-time; watermark → t+30
+      q.processAllAvailable()
+      ms.addData((1L, ts(45), 2.0)) // LATE but above watermark: folds in
+      q.processAllAvailable()
+      // an on-time event 20 min after the session's true horizon (60):
+      // with a regressed lastTs (45) the 35-min apparent gap would
+      // wrongly close the session here
+      ms.addData((1L, ts(80), 4.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_late_test").isEmpty,
+        "no session may close: the true max gap is 20 min < 30")
+      // advance the watermark far past the horizon → the ONE true
+      // session (3 events) times out and emits
+      ms.addData((2L, ts(300), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_late_test")
+        .select("user_id", "n_events", "sum_value", "closed")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(rows == Set((1L, 3L, 7.0, true)))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -99,6 +135,20 @@ class MultimodalSpec extends AnyFunSuite {
     val corrupt = media.limit(3).map(m => m.copy(payload = Array[Byte](1, 2, 3)))
     val meta = Multimodal.decodeMeta(corrupt).collect()
     assert(meta.length == 3 && meta.forall(!_.getAs[Boolean]("decode_ok")))
+  }
+
+  test("a corrupted duration field is flagged inconsistent; n<=0 frame sampling is total") {
+    import spark.implicits._
+    // intact w/h, corrupted duration: header re-encoded with dur+1
+    val badDur = media.limit(3).map(m => m.copy(payload =
+      Multimodal.StubCodec.encodeHeader(m.width, m.height, m.duration_ms + 1) ++
+        m.payload.drop(16)))
+    val meta = Multimodal.decodeMeta(badDur).collect()
+    assert(meta.length == 3 && meta.forall(_.getAs[Boolean]("decode_ok")))
+    assert(meta.forall(!_.getAs[Boolean]("meta_consistent")),
+      "duration mismatch must fail the consistency check")
+    assert(Multimodal.sampleFrames(media, 0).count() == 0L,
+      "n=0 means sample nothing, not a division by zero")
   }
 
   test("feature extraction: histogram sums to payload body length; deterministic") {
