@@ -119,6 +119,122 @@ object Bench {
     }
   }
 
+  /** Banked runs measured BEFORE the final methodology landed —
+    * ParallelGC-pinned timed builds (so GC/JIT threads stop subsidizing
+    * the local[1] side) and the cross-run contention anchor (so a trial
+    * inside an all-run-long throttle window gets flagged instead of
+    * labeled stable). Their "stable" labels were screened by a weaker
+    * gate, so the pooled section reports them in a separate pool instead
+    * of mixing measurement eras. Frozen history: every run banked after
+    * the boundary joins the final-methodology pool automatically. */
+  private[graft] val LegacyRuns: Set[String] =
+    Set("bench_r3_local.json", "bench_r5_local.json",
+      "bench_r5b_local.json", "bench_r5c_local.json")
+
+  /** Stable scaling trials parsed out of one banked bench JSON line:
+    * (eff_raw, eff_steal_corrected) for every trial whose drifted /
+    * contended / last_ditch flags are all false. Trial objects are
+    * recognized by carrying BOTH eff_raw and drifted — the per-query map
+    * and run-level scalars never match. A file with no trials (or no
+    * JSON at all) yields Nil. */
+  private[graft] def parseStableEffs(json: String): Seq[(Double, Double)] = {
+    def field(obj: String, k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*([0-9.eE+-]+|true|false)").r
+        .findFirstMatchIn(obj).map(_.group(1))
+    "\\{[^{}]*\\}".r.findAllIn(json).toSeq
+      .filter(o => field(o, "eff_raw").isDefined && field(o, "drifted").isDefined)
+      .flatMap { o =>
+        val flagged = Seq("drifted", "contended", "last_ditch")
+          .exists(k => field(o, k).contains("true"))
+        if (flagged) None
+        else for {
+          raw <- field(o, "eff_raw").flatMap(s => scala.util.Try(s.toDouble).toOption)
+          corr <- field(o, "eff_steal_corrected")
+            .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        } yield (raw, corr)
+      }
+  }
+
+  /** The banked run artifacts the pooled section is computed over:
+    * every BENCH/bench_*_local.json, sorted by name. */
+  private[graft] def listBankedRuns(): Seq[(String, String)] = {
+    val dir = new java.io.File("BENCH")
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.getName.matches("bench_.*_local\\.json"))
+      .sortBy(_.getName)
+      .map(f => (f.getName, new String(Files.readAllBytes(f.toPath), "UTF-8")))
+  }
+
+  private[graft] val PooledHeading =
+    "## Pooled scaling evidence across banked runs"
+
+  /** Markdown section pooling the STABLE scaling trials across every
+    * banked run JSON. One run samples at most a few clean windows on
+    * this shared host — the per-run table above it answers "what did
+    * this run see", while the round's scaling evidence is the pool of
+    * stable trials across all banked runs, each committed as it landed.
+    * Pure (takes (fileName, content) pairs) so BenchReportSpec can pin
+    * the math and the era split without a filesystem. */
+  private[graft] def pooledSection(runs: Seq[(String, String)]): String = {
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+    val parsed = runs.map { case (name, content) => (name, parseStableEffs(content)) }
+    val fin = parsed.filterNot { case (n, _) => LegacyRuns(n) }
+    val finEffs = fin.flatMap(_._2)
+    val allEffs = parsed.flatMap(_._2)
+    def poolRow(label: String, pool: Seq[(String, Seq[(Double, Double)])]): String = {
+      val effs = pool.flatMap(_._2)
+      s"| $label | ${pool.count(_._2.nonEmpty)} | ${effs.size} | " +
+        f"${med(effs.map(_._1))}%.3f | ${med(effs.map(_._2))}%.3f |"
+    }
+    val runRows = parsed.map { case (n, effs) =>
+      val tag = if (LegacyRuns(n)) " (pre-methodology)" else ""
+      s"| $n$tag | ${effs.size} | " +
+        s"${if (effs.isEmpty) "—" else effs.map(e => f"${e._1}%.3f").mkString(", ")} |"
+    }.mkString("\n|") // continuation rows carry an extra margin pipe for stripMargin
+    s"""$PooledHeading
+       |
+       |A single bench run samples at most a few clean windows on this
+       |shared host — the clean-window gate keeps each run honest, and the
+       |round's scaling evidence is the POOL of stable (unflagged) trials
+       |across every banked run JSON in BENCH/, each committed as it
+       |landed. Runs banked before the final measurement methodology —
+       |ParallelGC-pinned timed builds and the cross-run contention anchor
+       |— are pooled separately: their "stable" labels were screened by a
+       |weaker gate (no anchor; unpinned GC threads subsidized the
+       |local[1] side, understating efficiency). Both pools are shown; a
+       |just-finished run's trials appear in the per-run table above and
+       |join this pool once its JSON is banked.
+       |
+       || pool | runs w/ stable trials | stable trials | eff raw median | eff steal-corrected median |
+       ||---|---|---|---|---|
+       |${poolRow("final methodology", fin)}
+       |${poolRow("all banked runs (incl. pre-methodology)", parsed)}
+       |
+       || run | stable trials | eff raw values |
+       ||---|---|---|
+       |$runRows
+       |""".stripMargin
+  }
+
+  /** Replace (or append) the pooled-evidence section at the tail of a
+    * BASELINE.md body — idempotent, so carry-forward bodies that already
+    * embed an older pooled section don't stack a second one. */
+  private[graft] def withPooledSection(baseline: String, section: String): String = {
+    val i = baseline.indexOf(PooledHeading)
+    val body = if (i >= 0) baseline.substring(0, i) else baseline
+    val sep =
+      if (body.endsWith("\n\n") || body.isEmpty) ""
+      else if (body.endsWith("\n")) "\n"
+      else "\n\n"
+    body + sep + section
+  }
+
   /** Hardware thread-scaling ceiling measured AT TRIAL TIME: total
     * busy-loop iterations at `hi` threads vs 1 thread, each run in a
     * subprocess under the SAME CPU affinity as the build at that level
@@ -1078,7 +1194,12 @@ object Bench {
         if (Files.exists(baselinePath)) Some(Files.readString(baselinePath)) else None
       val merged = baselineAfterRun(prevBaseline, report, nStable, trials.size,
         java.time.Instant.now().toString)
-      Files.writeString(baselinePath, merged)
+      // the artifact of record also carries the pooled stable evidence
+      // across every banked run (this run's JSON joins the pool once the
+      // operator banks it — stdout is redirected by the caller, so the
+      // file does not exist yet from in here)
+      Files.writeString(baselinePath,
+        withPooledSection(merged, pooledSection(listBankedRuns())))
       if (!(merged eq report))
         System.err.println("[bench] 0 stable trials — BENCH/BASELINE.md stable table carried forward; this run's report is in BENCH/bench_last_run.md")
     } else System.err.println("[bench] SPARK_GRAFT_NO_BASELINE set — BENCH/*.md untouched")
@@ -1089,6 +1210,22 @@ object Bench {
       import scala.sys.process._
       Seq("rm", "-rf", work).! : Unit
     }
+  }
+}
+
+/** Refresh BENCH/BASELINE.md's pooled-evidence section from the banked
+  * run JSONs WITHOUT re-running the bench — used right after banking a
+  * run (so the pool includes it) or when a baseline predating the pooled
+  * section needs the tail added. Touches nothing above the section. */
+object BenchPool {
+  def main(args: Array[String]): Unit = {
+    val p = Paths.get("BENCH/BASELINE.md")
+    require(Files.exists(p), "BENCH/BASELINE.md not found — run graft.Bench first")
+    val out = Bench.withPooledSection(Files.readString(p),
+      Bench.pooledSection(Bench.listBankedRuns()))
+    Files.writeString(p, out)
+    println(s"[bench-pool] refreshed '${Bench.PooledHeading}' over ${
+      Bench.listBankedRuns().size} banked runs")
   }
 }
 
