@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Extra (non-contract) measurement mains for the optimization rounds.
+  *
+  * `graft.Bench` is the frozen driver contract; this main adds the guide
+  * §1 instrumentation that does not belong in the hashed harness:
+  *
+  *   - `plans <suffix> [regexFilter]` — write `.explain("formatted")` for
+  *     every declared query to `plans/r06/<query>_<suffix>.txt`;
+  *   - `time [rounds] [regexFilter]` — noop-sink-isolated per-query times,
+  *     several rounds in ONE warm session, so steady-state cost is
+  *     separable from first-query JIT/codegen warmup (the frozen bench
+  *     times each query exactly once, alphabetically, in a fresh session).
+  *
+  * Uses the same session config as the frozen bench's query section so
+  * numbers are comparable.
+  */
+object BenchExtra {
+
+  private def newSession(threads: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-bench-extra-$threads")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.local.dir", "/dev/shm/graft-bench-shuffle")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val mode = args.headOption.getOrElse("time")
+    val spark = newSession(cpus)
+    try {
+      mode match {
+        case "plans" =>
+          val suffix = args.lift(1).getOrElse("before")
+          val filter = args.lift(2).map(_.r)
+          val dir = Paths.get("plans", "r06")
+          Files.createDirectories(dir)
+          SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+            if (filter.forall(_.findFirstIn(name).isDefined)) {
+              spark.sparkContext.setJobDescription(s"plan:$name")
+              val txt =
+                try fn(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+                catch { case scala.util.control.NonFatal(e) => s"EXPLAIN FAILED: $e" }
+              Files.write(dir.resolve(s"${name}_$suffix.txt"),
+                txt.getBytes(StandardCharsets.UTF_8),
+                StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+              println(s"wrote ${dir.resolve(s"${name}_$suffix.txt")}")
+            }
+          }
+        case "time" =>
+          val rounds = args.lift(1).map(_.toInt).getOrElse(2)
+          val filter = args.lift(2).map(_.r)
+          val names = SparkEntry.queries.toSeq.sortBy(_._1)
+            .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
+          val times = scala.collection.mutable.Map.empty[String, List[Double]]
+          (1 to rounds).foreach { r =>
+            names.foreach { case (name, fn) =>
+              spark.sparkContext.setJobDescription(s"time:$name:r$r")
+              val t0 = System.nanoTime()
+              try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[extra] $name FAILED: ${e.getMessage}") }
+              val sec = (System.nanoTime() - t0) / 1e9
+              times(name) = times.getOrElse(name, Nil) :+ sec
+            }
+          }
+          println(f"${"query"}%-24s ${(1 to rounds).map(r => f"r$r%7s").mkString(" ")}")
+          names.foreach { case (name, _) =>
+            println(f"$name%-24s ${times(name).map(t => f"$t%7.3f").mkString(" ")}")
+          }
+          val totals = (0 until rounds).map(i => names.map(n => times(n._1)(i)).sum)
+          println(f"${"TOTAL"}%-24s ${totals.map(t => f"$t%7.3f").mkString(" ")}")
+        case other =>
+          System.err.println(s"unknown mode: $other (plans|time)")
+      }
+    } finally spark.stop()
+  }
+}

@@ -3,11 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Cosine similarity of two double vectors as a NATIVE Catalyst
   * expression with whole-stage codegen (`doGenCode`) — the builder-prompt
@@ -108,6 +108,156 @@ final case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Banded random-hyperplane LSH signatures as a NATIVE codegen'd
+  * expression — the fused form of the composed-built-in chain used by the
+  * ANN ops through round 5:
+  *
+  *   transform(sequence(0, nBands-1), b ->
+  *     aggregate(transform(sequence(0, bandSize-1), p ->
+  *       case when aggregate(zip_with(v, planes[b*bandSize+p], (x,w) -> x*w),
+  *                           0D, (acc,x) -> acc + x) > 0
+  *            then cast(pow(2, p) as int) else 0 end), 0, (acc,x) -> acc+x))
+  *
+  * That chain is interpreted lambda dispatch over every vector element,
+  * and the optimizer DUPLICATES it (a `size(...) > 0` filter inferred
+  * below the explode, plus once per side of the candidate self-join), so
+  * round 5's q36 evaluated 8×64 interpreted dot products 4+ times per
+  * row. This expression runs the nPlanes dot products in one fused native
+  * loop per row (guide §1.2 "per-task work" + §4.1 "prefer expressions").
+  *
+  * The plane matrix is the SAME md5 derivation as round 5's driver-side
+  * [[graft.ops.DocOps]] constant — weight(p, i) = high nibble of
+  * md5("p:i")[0] minus 7.5 — memoized per input dimensionality inside the
+  * expression, which also removes the per-query `dims` lookup job and the
+  * 512-double literal from the plan. Accumulation order matches the fold
+  * above exactly (left-to-right), so band signatures are bit-identical
+  * and the DuckDB oracles are unaffected. A null element makes that
+  * plane's projection null, which the CASE turned into a 0 bit — mirrored
+  * here (no nulls occur in the embeddings tables).
+  */
+final case class BandSigs(child: Expression, nPlanes: Int, bandSize: Int)
+    extends UnaryExpression {
+  require(nPlanes > 0 && bandSize > 0 && nPlanes % bandSize == 0,
+    s"nPlanes=$nPlanes must be a positive multiple of bandSize=$bandSize")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_band_sigs"
+
+  // plane weights memoized per dims (dims is constant per table in
+  // practice; the map guards against mixed-width inputs)
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  def planesFor(dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dims, d => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nPlanes, d) { (p, i) =>
+        md.reset()
+        val h = md.digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ((h(0) >> 4) & 0xf).toDouble - 7.5
+      }
+    })
+
+  def compute(x: ArrayData): GenericArrayData = {
+    val dims = x.numElements()
+    val planes = planesFor(dims)
+    val nBands = nPlanes / bandSize
+    val sigs = new Array[Int](nBands)
+    var b = 0
+    while (b < nBands) {
+      var sig = 0
+      var p = 0
+      while (p < bandSize) {
+        val w = planes(b * bandSize + p)
+        var dot = 0.0
+        var nullDot = false
+        var i = 0
+        while (i < dims && !nullDot) {
+          if (x.isNullAt(i)) nullDot = true
+          else dot += x.getDouble(i) * w(i)
+          i += 1
+        }
+        if (!nullDot && dot > 0.0) sig |= 1 << p
+        p += 1
+      }
+      sigs(b) = sig
+      b += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandSigs", this, classOf[BandSigs].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandSigs =
+    copy(child = newChild)
+}
+
+/** 16-bit SimHash majority vote as a NATIVE codegen'd expression: input
+  * is the per-term 16-bit md5 prefix (`conv(substr(md5(term), 1, 4), 16,
+  * 10)` — bit i of the simhash reads bit (15-i) of that value, exactly
+  * the nibble arithmetic of the q21 oracle), output is the simhash with
+  * bit i set iff strictly more terms set bit i than clear it. Replaces
+  * round 5's explode-to-16-rows + two aggregation exchanges with one
+  * fused loop per document (null elements are skipped, mirroring
+  * SQL `sum` null-skipping; none occur — md5 of a non-null term). */
+final case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash16"
+
+  def compute(x: ArrayData): Long = {
+    val n = x.numElements()
+    val s = new Array[Int](16)
+    var j = 0
+    while (j < n) {
+      if (!x.isNullAt(j)) {
+        val v = x.getInt(j)
+        var i = 0
+        while (i < 16) {
+          if (((v >> (15 - i)) & 1) == 1) s(i) += 1 else s(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 16) {
+      if (s(i) > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash16].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
 object VecExpressions {
 
   /** Column-API form: `cosineSim(col("v"), col("qv"))`. Resolves through
@@ -116,18 +266,57 @@ object VecExpressions {
   def cosineSim(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Column-API form: `bandSigs(col("v"), 8, 2)` → array<int> of
+    * nPlanes/bandSize band signatures. */
+  def bandSigs(v: Column, nPlanes: Int, bandSize: Int): Column =
+    call_function("graft_band_sigs", v,
+      org.apache.spark.sql.functions.lit(nPlanes),
+      org.apache.spark.sql.functions.lit(bandSize))
+
+  /** Column-API form: `simHash16(col("v16"))` over the per-term 16-bit
+    * md5 prefixes → bigint simhash. */
+  def simHash16(v16: Column): Column =
+    call_function("graft_simhash16", v16)
+
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSim].getCanonicalName, "graft_cosine")
+  private val bandSigsInfo = new ExpressionInfo(
+    classOf[BandSigs].getCanonicalName, "graft_band_sigs")
+  private val simHashInfo = new ExpressionInfo(
+    classOf[SimHash16].getCanonicalName, "graft_simhash16")
 
   private def cosineBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, s"graft_cosine takes 2 arguments, got ${args.length}")
     CosineSim(args(0), args(1))
   }
 
-  /** Runtime registration: `SELECT graft_cosine(v, q)` in the session. */
-  def register(spark: SparkSession): Unit =
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+  }
+
+  private def bandSigsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, s"graft_band_sigs takes 3 arguments, got ${args.length}")
+    BandSigs(args(0), litInt(args(1), "nPlanes"), litInt(args(2), "bandSize"))
+  }
+
+  private def simHashBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, s"graft_simhash16 takes 1 argument, got ${args.length}")
+    SimHash16(args(0))
+  }
+
+  /** Runtime registration: `SELECT graft_cosine(v, q)` etc. in the session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_band_sigs"), bandSigsInfo, bandSigsBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash16"), simHashInfo, simHashBuilder _)
+  }
 }
 
 /** `spark.sql.extensions`-style injection
@@ -136,7 +325,7 @@ object VecExpressions {
   * available in every session of the application, including SQL-only
   * clients, without driver code. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_cosine"),
         new ExpressionInfo(classOf[CosineSim].getCanonicalName, "graft_cosine"),
@@ -144,4 +333,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           require(args.length == 2, s"graft_cosine takes 2 arguments, got ${args.length}")
           CosineSim(args(0), args(1))
         }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_band_sigs"),
+        new ExpressionInfo(classOf[BandSigs].getCanonicalName, "graft_band_sigs"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, s"graft_band_sigs takes 3 arguments, got ${args.length}")
+          def i(e: Expression): Int = e.eval().asInstanceOf[Int]
+          BandSigs(args(0), i(args(1)), i(args(2)))
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_simhash16"),
+        new ExpressionInfo(classOf[SimHash16].getCanonicalName, "graft_simhash16"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_simhash16 takes 1 argument, got ${args.length}")
+          SimHash16(args(0))
+        }))
+  }
 }

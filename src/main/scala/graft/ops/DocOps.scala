@@ -41,46 +41,58 @@ object DocOps {
         explode(split(lower(col("text")), "[^a-z]+")).as("term"): _*)
       .filter(length(col("term")) >= 3)
 
-  // at most ONE cached plan per call site stays pinned: each call
-  // unpersists the previous call's cache before pinning its own, so a
-  // long-lived session calling these repeatedly doesn't accumulate dead
-  // storage blocks (Spark's CacheManager holds strong refs — entries
-  // are never GC-collected)
-  private val cacheSlots =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def swapCached(slot: String, df: DataFrame): DataFrame = {
-    val cached = df.cache()
-    val prev = cacheSlots.put(slot, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist()
-    cached
-  }
+  /** The per-document token ARRAY (same F2/F4 Latin mode as [[tokens]]),
+    * kept row-local. A document's token multiset lives entirely in its own
+    * row, so per-doc aggregates (tf, dl, distinct counts, fingerprints,
+    * simhash) never need the explode → groupBy(doc_id) round trip — at
+    * scale that removes a full shuffle of the token stream per query
+    * (optimization guide §2.4 "remove shuffles outright"). */
+  private def tokArr: Column =
+    filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 3)
 
-  /** A1 — tf per (doc, term): the `index_t.rating` analogue. */
+  /** doc_id → DISTINCT tokens, deduplicated INSIDE the row
+    * (array_distinct) instead of a corpus-wide `.distinct()` exchange —
+    * (doc_id, term) distinctness is a per-doc property. */
+  private def distinctTokens(docs: DataFrame, carry: Column*): DataFrame =
+    docs.select(col("doc_id") +: carry :+
+      explode(array_distinct(tokArr)).as("term"): _*)
+
+  /** A1 — tf per (doc, term): the `index_t.rating` analogue.
+    *
+    * Kept as explode → groupBy: a row-local run-length-encode variant
+    * (sort_array + filter/transform over index sequences) was measured
+    * 8x SLOWER at sf0.1 (interpreted lambda dispatch per token beats the
+    * one map-side-combined exchange it saves — guide §1.1's "the ideal
+    * plan is usually slower at first" in action; see
+    * OPTIMIZATION_r06.md). The groupBy's partial aggregation already
+    * collapses each doc's duplicates map-side, so the exchange carries
+    * distinct (doc, term) pairs only. */
   def tfPostings(spark: SparkSession, dir: String): DataFrame =
     tokens(documents(spark, dir))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .orderBy("doc_id", "term")
 
-  /** A2 — global document frequency per term (`lemma.frequency`). */
+  /** A2 — global document frequency per term (`lemma.frequency`).
+    * Per-doc dedup happens in-row (array_distinct), so the exploded rows
+    * are already (doc, term)-unique and a plain map-side-combinable
+    * count replaces round 5's two-phase countDistinct. */
   def dfGlobal(spark: SparkSession, dir: String): DataFrame =
-    tokens(documents(spark, dir))
-      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    distinctTokens(documents(spark, dir))
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy("term")
 
   /** A2/F6 — per-source df (reference df is per-site). */
   def dfBySource(spark: SparkSession, dir: String): DataFrame =
-    tokens(documents(spark, dir), col("source"))
-      .groupBy("term", "source").agg(countDistinct(col("doc_id")).as("df"))
+    distinctTokens(documents(spark, dir), col("source"))
+      .groupBy("term", "source").agg(count(lit(1)).as("df"))
       .orderBy("term", "source")
 
-  /** Doc length (token count) — BM25's dl; zero-token docs kept (dl=0). */
-  def docLen(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
-    val dl = tokens(docs).groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    docs.select("doc_id").join(dl, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("dl"))
+  /** Doc length (token count) — BM25's dl; zero-token docs kept (dl=0).
+    * dl is row-local (array size): no explode, no aggregation, no join. */
+  def docLen(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), size(tokArr).cast("bigint").as("dl"))
       .orderBy("doc_id")
-  }
 
   /** F5 — stop-term pruning: terms on >80% of docs (the reference drops
     * query lemmas with df/pageCount*100 > 80, SearchServiceImpl.java:329-344). */
@@ -92,47 +104,79 @@ object DocOps {
       .orderBy("term")
   }
 
+  /** Per-query-term corpus stats in ONE job: (docCount, avg dl, df per
+    * query term). df(t) = Σ docs with t present — row-local
+    * array_contains, no tokenize-the-corpus aggregation; shared by the
+    * search pipelines (round 5 ran a docs.count() job + a full dfGlobal
+    * collect + a separate avgdl job here: 3-4 driver actions per query). */
+  private def queryTermStats(spark: SparkSession, dir: String)
+      : (Long, Double, Map[String, Long]) = {
+    val aggs = Seq(count(lit(1)).as("n"), avg(size(col("arr"))).as("avgdl")) ++
+      QueryTerms.map(t =>
+        sum(when(array_contains(col("arr"), t), 1).otherwise(0)).as(s"df_$t"))
+    val row = documents(spark, dir).select(tokArr.as("arr"))
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    val avgdl = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    val dfs = QueryTerms.zipWithIndex.map { case (t, i) => t -> row.getLong(2 + i) }.toMap
+    (n, avgdl, dfs)
+  }
+
+  /** The 80% rule over the one-job stats: terms present (df > 0) and on
+    * ≤80% of docs, rarest first (df ASC, term ASC). */
+  private def survivorsOf(n: Long, dfs: Map[String, Long]): Seq[(String, Long)] =
+    QueryTerms
+      .filter(t => dfs(t) > 0 && dfs(t) * 100.0 / n.toDouble <= 80.0)
+      .map(t => t -> dfs(t))
+      .sortBy { case (t, df) => (df, t) }
+
   /** O1 — query-term execution order: surviving terms by (df ASC, term ASC). */
   def rarestFirst(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
-    val n = docs.count()
-    dfGlobal(spark, dir)
-      .filter(col("term").isin(QueryTerms: _*))
-      .filter(col("df") * 100.0 / lit(n.toDouble) <= 80.0)
-      .orderBy("df", "term")
+    import spark.implicits._
+    val (n, _, dfs) = queryTermStats(spark, dir)
+    survivorsOf(n, dfs).toDF("term", "df").orderBy("df", "term")
   }
 
   /** Surviving (unpruned) query terms as a local list — shared by the
     * search pipelines; both sides apply the same 80% rule. */
   private def survivingTerms(spark: SparkSession, dir: String): Seq[String] = {
+    val (n, _, dfs) = queryTermStats(spark, dir)
+    survivorsOf(n, dfs).map(_._1)
+  }
+
+  private def emptyLongDouble(spark: SparkSession, names: (String, String)): DataFrame = {
     import spark.implicits._
-    rarestFirst(spark, dir).select("term").as[String].collect().toSeq
+    Seq.empty[(Long, Double)].toDF(names._1, names._2)
   }
 
   /** J1/E1 — conjunctive posting intersection for the fixture query:
-    * docs containing ALL surviving terms. groupBy+count==n replaces the
-    * reference's O(n·m) List.contains loop (SearchServiceImpl.java:236-243). */
+    * docs containing ALL surviving terms. Row-local: `nt` = size of the
+    * in-row intersection with the query-term set — no aggregation
+    * exchange at all (round 5 shuffled the filtered token stream into a
+    * countDistinct; the reference's O(n·m) List.contains loop is
+    * SearchServiceImpl.java:236-243). */
   def conjunction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val terms = survivingTerms(spark, dir)
-    tokens(documents(spark, dir))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("term")).as("nt"))
-      .filter(col("nt") === terms.size)
+    if (terms.isEmpty) return Seq.empty[Long].toDF("doc_id")
+    documents(spark, dir)
+      .select(col("doc_id"), tokArr.as("arr"))
+      .filter(size(array_intersect(col("arr"), typedlit(terms))) === terms.size)
       .select("doc_id")
       .orderBy("doc_id")
   }
 
   /** A4 — absolute relevance per matching doc: Σ tf over query terms
-    * (SearchPageData.java:28-32). */
+    * (SearchPageData.java:28-32). Row-local: occurrence count = size of
+    * the in-row filter; no shuffle before the orderBy. */
   def tfsumScores(spark: SparkSession, dir: String): DataFrame = {
     val terms = survivingTerms(spark, dir)
-    tokens(documents(spark, dir))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("term")).as("nt"), count(lit(1)).as("abs_rel"))
-      .filter(col("nt") === terms.size)
-      .select(col("doc_id"), col("abs_rel").cast("double").as("abs_rel"))
+    if (terms.isEmpty) return emptyLongDouble(spark, ("doc_id", "abs_rel"))
+    documents(spark, dir)
+      .select(col("doc_id"), tokArr.as("arr"))
+      .filter(size(array_intersect(col("arr"), typedlit(terms))) === terms.size)
+      .select(col("doc_id"),
+        size(filter(col("arr"), t => t.isin(terms: _*))).cast("double").as("abs_rel"))
       .orderBy("doc_id")
   }
 
@@ -146,31 +190,33 @@ object DocOps {
       .limit(10)
 
   /** BM25 (k1=1.2, b=0.75) scores over the conjunctive candidates —
-    * the north_rule's primary ranking. Pure Catalyst: tf/df/dl/avgdl
-    * aggregations + one join; no UDFs. */
+    * the north_rule's primary ranking. Round 5 ran 4 sequential driver
+    * actions (two counts, a df collect, an avgdl job) and a 3-join plan
+    * over a cached token explode; every per-doc quantity (dl, tf per
+    * term) is row-local, so this is now ONE stats job + ONE shuffle-free
+    * scoring scan. idf/avgdl arithmetic mirrors the round-5 Catalyst
+    * expressions operation-for-operation (integer-exact sums feed them,
+    * so scores are bit-identical; the oracle is unchanged). */
   def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
-    val n = docs.count().toDouble
-    val terms = survivingTerms(spark, dir)
-    val tok = swapCached("bm25.tok", tokens(docs))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val avgdl = docs.select("doc_id").join(dl, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("dl")).agg(avg("dl")).collect()(0).getDouble(0)
-    val dfT = tok.filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    val tf = tok.filter(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val cand = tf.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      .filter(col("nt") === terms.size).select("doc_id")
-    val idf = greatest(lit(0.0),
-      log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    tf.join(cand, Seq("doc_id"))
-      .join(broadcast(dfT), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .withColumn("score_t",
-        idf * col("tf") * (Bm25K1 + 1.0) /
-          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl))))
-      .groupBy("doc_id").agg(round(sum("score_t"), 6).as("score"))
+    val (nL, avgdl, dfs) = queryTermStats(spark, dir)
+    val n = nL.toDouble
+    val surv = survivorsOf(nL, dfs)
+    if (surv.isEmpty) return emptyLongDouble(spark, ("doc_id", "score"))
+    val base = documents(spark, dir)
+      .select(col("doc_id"), tokArr.as("arr"))
+      .withColumn("dl", size(col("arr")))
+    val withTf = surv.zipWithIndex.foldLeft(base) { case (df, ((t, _), i)) =>
+      df.withColumn(s"tf_$i", size(filter(col("arr"), x => x === t)))
+    }
+    val scoreT = surv.zipWithIndex.map { case ((t, dfT), i) =>
+      val idf = math.max(0.0,
+        math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0))
+      lit(idf) * col(s"tf_$i") * (Bm25K1 + 1.0) /
+        (col(s"tf_$i") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl)))
+    }
+    withTf
+      .filter(surv.indices.map(i => col(s"tf_$i") > 0).reduce(_ && _))
+      .select(col("doc_id"), round(scoreT.reduce(_ + _), 6).as("score"))
   }
 
   /** North-rule headline: BM25 top-10, ties pinned (score DESC, doc_id ASC). */
@@ -183,26 +229,29 @@ object DocOps {
     bm25Scored(spark, dir).orderBy(desc("score"), col("doc_id"))
       .offset(10).limit(10)
 
-  /** F6 — source-scoped tf-sum search (site scoping analogue). */
+  /** F6 — source-scoped tf-sum search (site scoping analogue). One
+    * scoped stats job (count + per-term df, row-local contains) replaces
+    * round 5's count + countDistinct-collect pair; scoring is row-local
+    * like [[tfsumScores]]. */
   def tfsumScoped(spark: SparkSession, dir: String, source: String = "src3"): DataFrame = {
     val docs = documents(spark, dir).filter(col("source") === source)
-    val scopedTok = tokens(docs)
-    val nScoped = docs.count()
-    val dfScoped = scopedTok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    import spark.implicits._
-    val surviving = dfScoped.filter(col("term").isin(QueryTerms: _*))
-      .filter(col("df") * 100.0 / lit(nScoped.toDouble) <= 80.0)
-      .select("term").as[String].collect().toSeq
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      QueryTerms.map(t =>
+        sum(when(array_contains(col("arr"), t), 1).otherwise(0)).as(s"df_$t"))
+    val row = docs.select(tokArr.as("arr")).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nScoped = row.getLong(0)
+    val dfs = QueryTerms.zipWithIndex.map { case (t, i) => t -> row.getLong(1 + i) }.toMap
+    val surviving = QueryTerms
+      .filter(t => dfs(t) > 0 && dfs(t) * 100.0 / nScoped.toDouble <= 80.0).sorted
     if (surviving.isEmpty) {
       // all query terms pruned in this source — empty result with the
       // SAME schema as the non-empty branch (oracle returns zero rows too)
-      import spark.implicits._
-      return Seq.empty[(Long, Double)].toDF("doc_id", "rel")
+      return emptyLongDouble(spark, ("doc_id", "rel"))
     }
-    scopedTok.filter(col("term").isin(surviving: _*))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("term")).as("nt"), count(lit(1)).as("abs_rel"))
-      .filter(col("nt") === surviving.size)
+    docs.select(col("doc_id"), tokArr.as("arr"))
+      .filter(size(array_intersect(col("arr"), typedlit(surviving))) === surviving.size)
+      .select(col("doc_id"),
+        size(filter(col("arr"), t => t.isin(surviving: _*))).cast("long").as("abs_rel"))
       .withColumn("rel", round(col("abs_rel") / max(col("abs_rel")).over(Window.partitionBy()), 6))
       .select("doc_id", "rel")
       .orderBy(desc("rel"), col("doc_id"))
@@ -214,32 +263,33 @@ object DocOps {
     documents(spark, dir).groupBy("source")
       .agg(count(lit(1)).as("pages")).orderBy("source")
 
-  /** A8 — lemma (term) counts per site. */
+  /** A8 — lemma (term) counts per site. Tokens are deduplicated in-row
+    * first, so the distinct-count aggregation sees (doc, term)-unique
+    * rows instead of every occurrence. */
   def statsLemmas(spark: SparkSession, dir: String): DataFrame =
-    tokens(documents(spark, dir), col("source"))
+    distinctTokens(documents(spark, dir), col("source"))
       .groupBy("source").agg(countDistinct(col("term")).as("lemmas"))
       .orderBy("source")
 
   /** J4 — anti-join (the visited/dedup check): docs containing 'spark'
-    * but NOT 'dup'. */
-  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokens(documents(spark, dir))
-    val withSpark = tok.filter(col("term") === "spark").select("doc_id").distinct()
-    val withDup = tok.filter(col("term") === "dup").select("doc_id").distinct()
-    withSpark.join(withDup, Seq("doc_id"), "left_anti").orderBy("doc_id")
-  }
+    * but NOT 'dup'. Both membership tests are row-local array_contains —
+    * the round-5 two-sided distinct + left_anti join (3 exchanges) is a
+    * single scan. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), tokArr.as("arr"))
+      .filter(array_contains(col("arr"), "spark") && !array_contains(col("arr"), "dup"))
+      .select("doc_id").orderBy("doc_id")
 
-  /** J6/A3 — df merge across batches: split the corpus in two halves,
-    * union their per-half dfs, re-aggregate — must equal global df. */
-  def dfMerge(spark: SparkSession, dir: String): DataFrame = {
-    val docs = documents(spark, dir)
-    def half(p: Column): DataFrame =
-      tokens(docs.filter(p))
-        .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
-    half(col("doc_id") % 2 === 0).union(half(col("doc_id") % 2 === 1))
+  /** J6/A3 — df merge across batches: per-half dfs re-aggregated to the
+    * global df. The two halves are tagged in one scan (groupBy term+half,
+    * in-row dedup) and merged — same per-half partial dfs and the same
+    * merge semantics as round 5's two-scan union, half the reads. */
+  def dfMerge(spark: SparkSession, dir: String): DataFrame =
+    distinctTokens(documents(spark, dir), (col("doc_id") % 2).as("h"))
+      .groupBy("term", "h").agg(count(lit(1)).as("df"))
       .groupBy("term").agg(sum("df").as("df"))
       .orderBy("term")
-  }
 
   /** E2 — set op: distinct (lang, source) pairs. */
   def distinctPairs(spark: SparkSession, dir: String): DataFrame =
@@ -256,109 +306,153 @@ object DocOps {
       .filter(col("n") > 1)
       .orderBy("h")
 
-  /** Word-trigram shingles per doc (distinct). Shared by n-gram Jaccard
-    * and MinHash. Spark: transform over index sequence (0-based). */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** Word-trigram shingle ARRAY per doc, built row-local (words with
+    * length ≥ 1, docs with ≥ 3 words). May contain within-doc duplicate
+    * shingles — [[ngramJaccard]] dedups in-row with array_distinct (so no
+    * corpus-wide `.distinct()` exchange is ever needed); min-hashing is
+    * duplicate-invariant and skips even that. */
+  private def shingleDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        split(lower(col("text")), "[^a-z]+").as("arr"))
-      .withColumn("arr", filter(col("arr"), t => length(t) >= 1))
-      .filter(size(col("arr")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(arr) - 3), i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))")).as("sh"))
-      .distinct()
+        filter(split(lower(col("text")), "[^a-z]+"), t => length(t) >= 1).as("warr"))
+      .filter(size(col("warr")) >= 3)
+      .withColumn("sharr", expr(
+        "transform(sequence(0, size(warr) - 3), i -> concat(warr[i], ' ', warr[i+1], ' ', warr[i+2]))"))
+      .select(col("doc_id"), col("sharr"))
 
-  /** N-gram Jaccard near-dup pairs: self-join on shingle, Jaccard ≥ 0.3,
-    * pinned (a < b). The shuffle key is the shingle — at scale frequent
-    * shingles are the skew risk; production path uses MinHash LSH below
-    * to avoid the quadratic blowup. */
+  /** N-gram Jaccard near-dup pairs: Jaccard ≥ 0.3 over distinct-shingle
+    * sets, pinned (a < b). Shingles are deduplicated IN-ROW
+    * (array_distinct — no corpus-wide distinct exchange) and candidate
+    * pairs come from ONE groupBy(shingle) with in-group pair expansion
+    * (shingle groups are tiny, so the expansion is cheap — unlike q36's
+    * coarse LSH bands, where the codegen'd join wins) instead of round
+    * 5's two-sided sort-merge self-join. Still the labeled quadratic
+    * baseline (hot shingles expand in-group instead of in-join); q20 is
+    * the scale path.
+    *
+    * NOTE the explode's argument must be the array EXPRESSION, not a
+    * withColumn'd intermediate: naming the array first made the planner
+    * re-materialize the whole inlined shingle chain per output row
+    * through an inferred generator-non-empty filter (measured 10.5 s vs
+    * 0.4 s for these rows at sf0.1 — OPTIMIZATION_r06.md). */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val sh = swapCached("ngram.sh", shingles(documents(spark, dir)))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), Seq("b"))
+    // each (doc, shingle) row carries the doc's distinct-shingle count —
+    // computed INSIDE the generator expression via the let-binding form
+    // (`transform(array(...), a -> ...)`), so the whole scan happens once
+    // and no separate sizes pass / join is needed
+    val sh = shingleDocs(documents(spark, dir))
+      .select(col("doc_id"), explode(expr(
+        "transform(array(array_distinct(sharr)), a -> transform(a, s -> struct(s AS sh, size(a) AS sz)))[0]"))
+        .as("r"))
+      .select(col("doc_id"), col("r.sh").as("sh"), col("r.sz").cast("bigint").as("sz"))
+    sh.groupBy("sh").agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """filter(flatten(transform(ds, x -> transform(ds, y ->
+          |  struct(x.doc_id AS a, y.doc_id AS b, x.sz AS sza, y.sz AS szb)))),
+          |  p -> p.a < p.b)""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.sza").as("sza"), col("p.szb").as("szb"))
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("common"))
       .withColumn("jaccard", round(col("common") / (col("sza") + col("szb") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
   }
 
-  /** MinHash signatures: 8 hash functions realized as the lexicographic
-    * MIN of md5(seed || ':' || shingle) — portable across engines (md5 is
-    * identical everywhere; lexicographic min of the hex digest is a valid
-    * uniform min-hash). One aggregate pass computes all 8 mins as
-    * separate columns (no seed-explode: an 8x row blow-up before the
-    * shuffle), then unpivots — ~8x less shuffle volume. */
-  def minhashSignatures(spark: SparkSession, dir: String, nHashes: Int = 8): DataFrame = {
-    val sh = shingles(documents(spark, dir))
+  /** Per-doc MinHash signature columns sig0..sig{n-1}: 8 hash functions
+    * realized as the lexicographic MIN of md5(seed || ':' || shingle) —
+    * portable across engines (md5 is identical everywhere; lexicographic
+    * min of the hex digest is a valid uniform min-hash). The min is
+    * ROW-LOCAL (`array_min` over the doc's own shingle array — min over a
+    * multiset equals min over its set, so no dedup pass either): round
+    * 5's explode → corpus-wide distinct → wide SortAggregate (3 sorts +
+    * 2 exchanges before any banding) is now a pure scan. */
+  private def minhashWide(docs: DataFrame, nHashes: Int): DataFrame = {
     val minCols = (0 until nHashes).map { s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("sh")).cast("binary"))).as(s"sig$s")
+      array_min(transform(col("sharr"),
+        sh => md5(concat(lit(s.toString), lit(":"), sh).cast("binary")))).as(s"sig$s")
     }
-    val wide = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    shingleDocs(docs).select(col("doc_id") +: minCols: _*)
+  }
+
+  /** MinHash signatures in the (doc, seed, sig) row form. */
+  def minhashSignatures(spark: SparkSession, dir: String, nHashes: Int = 8): DataFrame = {
     val stackExpr = (0 until nHashes).map(s => s"$s, sig$s").mkString(", ")
-    wide.select(col("doc_id"),
+    minhashWide(documents(spark, dir), nHashes)
+      .select(col("doc_id"),
         expr(s"stack($nHashes, $stackExpr)").as(Seq("seed", "sig")))
       .orderBy("doc_id", "seed")
   }
 
   /** MinHash LSH candidate pairs: 4 bands × 2 rows; a pair is a candidate
-    * if any band's concatenated signature matches. The band join replaces
-    * the quadratic shingle self-join — this is the 100 TB dedup path. */
+    * if any band's concatenated signature matches. Band signatures are
+    * derived DIRECTLY from the doc's own shingle array (seed 2b, 2b+1 in
+    * seed order — exactly the oracle's string_agg ORDER BY seed), so the
+    * whole pipeline up to candidate grouping is SHUFFLE-FREE; round 5
+    * exploded shingles, ran a corpus-wide distinct, a wide SortAggregate,
+    * an unpivot + re-group, and a two-sided self-join (round-5 verdict
+    * "What's wrong" #4). Candidates come from one groupBy(band, bandsig)
+    * with in-group pair expansion on ids only — this is the 100 TB dedup
+    * path. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir, 8)
-      .withColumn("band", expr("cast(floor(seed / 2) as int)"))
-    // deterministic band signature: sigs ordered by seed within the band
-    val bandsSorted = sigs.groupBy("doc_id", "band")
-      .agg(concat_ws("|", sort_array(collect_list(struct(col("seed"), col("sig")))).getField("sig")).as("bandsig"))
-    bandsSorted.as("x").join(bandsSorted.as("y"),
-        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val nBands = 4
+    // All 4 band signatures in ONE generator expression. The single-
+    // element `transform(array(sharr), a -> ...)` is a let-binding: the
+    // shingle array is materialized once per row as lambda variable `a`
+    // and every min-hash reads the bound value — referencing the sharr
+    // column from inside the lambdas instead re-evaluated the inlined
+    // shingle chain once per min (8x; same planner behavior as the q19
+    // note above). A generator's argument is evaluated once per row, so
+    // posexplode is the safe exit to (band, bandsig) rows.
+    val mins = (0 until nBands).map { b =>
+      def minOf(seed: Int) =
+        s"array_min(transform(a, sh -> md5(cast(concat('$seed', ':', sh) as binary))))"
+      s"concat(${minOf(2 * b)}, '|', ${minOf(2 * b + 1)})"
+    }
+    shingleDocs(documents(spark, dir))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(array(sharr), a -> array(${mins.mkString(", ")}))[0]"))
+        .as(Seq("band", "bandsig")))
+      .groupBy("band", "bandsig").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
       .orderBy("a", "b")
   }
 
   /** SimHash (16-bit, md5-nibble based): per-token hash bits are summed
     * signed (+1/-1) over DISTINCT tokens; bit i set iff the sum > 0.
-    * Fully expressible in SQL on both engines. */
+    *
+    * The majority vote is row-local (a doc's distinct tokens live in its
+    * own row): the first 4 md5 nibbles become one 16-bit int per term —
+    * bit i of the simhash reads bit (15-i) of it, the same nibble
+    * arithmetic as the oracle — and the native codegen'd
+    * [[graft.functions.SimHash16]] folds the ±1 votes in one loop. Round
+    * 5 exploded 16 bit-rows per (doc, term) and paid a corpus-wide
+    * distinct plus two aggregation exchanges; this is a pure scan +
+    * orderBy. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = tokens(documents(spark, dir)).distinct()
-      .withColumn("h", md5(col("term").cast("binary")))
-    // nibble i of md5 hex → 4 bits; use first 4 nibbles = 16 bits
-    val withBits = tok.select(col("doc_id"), col("h"),
-      explode(expr("transform(sequence(0, 15), i -> i)")).as("bit"))
-      .withColumn("nibble",
-        expr("instr('0123456789abcdef', substr(h, cast(floor(bit / 4) as int) + 1, 1)) - 1"))
-      .withColumn("bitval",
-        when(expr("cast(floor(nibble / pow(2, 3 - bit % 4)) as int) % 2") === 1, 1).otherwise(-1))
-    withBits.groupBy("doc_id", "bit").agg(sum("bitval").as("s"))
-      .withColumn("bitset", when(col("s") > 0, 1L).otherwise(0L))
-      .withColumn("weight", expr("cast(pow(2, bit) as bigint)") * col("bitset"))
-      .groupBy("doc_id").agg(sum("weight").as("simhash"))
+    withCosine(spark)
+    documents(spark, dir)
+      .select(col("doc_id"), array_distinct(tokArr).as("arr"))
+      .filter(size(col("arr")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.VecExpressions.simHash16(expr(
+          "transform(arr, t -> cast(conv(substr(md5(cast(t as binary)), 1, 4), 16, 10) as int))"))
+          .as("simhash"))
       .orderBy("doc_id")
   }
 
-  /** Register the native cosine expression (idempotent per session). */
-  /** The constant md5-derived hyperplane matrix shared by
-    * [[annLshBuckets]] and [[embedNearDup]] — plane p, dim i weight =
-    * first md5 nibble of "p:i" minus 7.5 (== instr('0..f', hex[0]) - 8.5
-    * on the DuckDB oracle side). One definition so the two LSH families
-    * can never diverge bit-wise. */
-  private def hyperplanes(nPlanes: Int, dims: Int): Seq[Seq[Double]] = {
-    def weight(p: Int, i: Int): Double = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ((h(0) >> 4) & 0xf).toDouble - 7.5
-    }
-    (0 until nPlanes).map(p => (0 until dims).map(i => weight(p, i)))
-  }
-
+  /** Register the native vector expressions (idempotent per session).
+    * The md5-derived hyperplane matrix both LSH families share — plane p,
+    * dim i weight = first md5 nibble of "p:i" minus 7.5 (== instr('0..f',
+    * hex[0]) - 8.5 on the DuckDB oracle side) — now lives inside the
+    * native [[graft.functions.BandSigs]] expression (one derivation, so
+    * the two LSH families can never diverge bit-wise). */
   private def withCosine(spark: SparkSession): Unit =
-    if (!spark.catalog.functionExists("graft_cosine"))
+    if (!spark.catalog.functionExists("graft_band_sigs"))
       graft.functions.VecExpressions.register(spark)
 
   /** Embedding-cosine ANN, brute force (the baseline): top-5 neighbours of
@@ -387,23 +481,17 @@ object DocOps {
     * md5-derived pseudo-planes; neighbours searched only within the same
     * bucket. Deterministic, no external randomness.
     *
-    * The plane matrix is a CONSTANT: plane p, dim i weight = first md5
-    * nibble of "p:i" minus 7.5. It is computed once on the driver and
-    * shipped as a literal nested-array column — per row the job does only
-    * the nPlanes dot products (round 1 re-derived the matrix with 512 md5
-    * calls inside the per-row expression: 20% of the whole bench). */
+    * The bucket is the single-band (bandSize = nPlanes) case of the
+    * native codegen'd [[graft.functions.BandSigs]] expression — one fused
+    * loop per row instead of round 5's interpreted lambda chain over a
+    * 512-double literal plane matrix, and no per-query `dims` lookup
+    * job. */
   def annLshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
-    val emb = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val dims = emb.select(size(col("v"))).head.getInt(0)
-    val planes = hyperplanes(nPlanes, dims)
-    emb.withColumn("planes", typedLit(planes))
-      .withColumn("bucket", expr(
-        s"""aggregate(transform(sequence(0, ${nPlanes - 1}, 1), p ->
-           |  case when aggregate(zip_with(v, planes[p], (x, w) -> x * w),
-           |                      0D, (acc, x) -> acc + x) > 0
-           |       then cast(pow(2, p) as int) else 0 end),
-           |  0, (acc, x) -> acc + x)""".stripMargin))
+    withCosine(spark)
+    embeddings(spark, dir)
+      .select(graft.functions.VecExpressions
+        .bandSigs(col("embedding").cast("array<double>"), nPlanes, nPlanes)
+        .getItem(0).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
       .orderBy("bucket")
   }
@@ -430,28 +518,26 @@ object DocOps {
     withCosine(spark)
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val dims = emb.select(size(col("v"))).head.getInt(0)
-    val planes = hyperplanes(nPlanes, dims)
-    val nBands = nPlanes / bandSize
-    // per-vector band signatures: bit p of band b = sign of plane
-    // (b*bandSize + p)'s projection
-    val sigs = emb.withColumn("planes", typedLit(planes))
-      .withColumn("band_sigs", expr(
-        s"""transform(sequence(0, ${nBands - 1}, 1), b ->
-           |  aggregate(transform(sequence(0, ${bandSize - 1}, 1), p ->
-           |    case when aggregate(zip_with(v, planes[b * $bandSize + p], (x, w) -> x * w),
-           |                        0D, (acc, x) -> acc + x) > 0
-           |         then cast(pow(2, p) as int) else 0 end),
-           |    0, (acc, x) -> acc + x))""".stripMargin))
-      .select(col("vec_id"),
-        posexplode(col("band_sigs")).as(Seq("band", "sig")))
+    // per-vector band signatures via the native codegen'd BandSigs (bit p
+    // of band b = sign of plane (b*bandSize + p)'s projection) — round 5
+    // evaluated the interpreted lambda chain 4+ times per row (an
+    // inferred size()>0 filter below the explode plus once per self-join
+    // side); the fused expression is computed once per row
+    val sigs = emb.select(col("vec_id"),
+      posexplode(graft.functions.VecExpressions.bandSigs(col("v"), nPlanes, bandSize))
+        .as(Seq("band", "sig")))
     // candidate generation on IDS ONLY — the full vectors never ride the
-    // (band, sig) shuffle, and a pair colliding in several bands is
-    // deduplicated BEFORE the cosine, so each candidate pays exactly one
-    // exact-cosine evaluation and one vector fetch per side
+    // (band, sig) join; the fixture's 2-bit bands are deliberately coarse
+    // (16 buckets over 2000 vectors → ~1.4M candidate pairs), so pair
+    // expansion must stream through the codegen'd broadcast hash join —
+    // a collect_list + in-group transform() variant was measured SLOWER
+    // (interpreted struct-building over ~500-id groups); a pair colliding
+    // in several bands is deduplicated BEFORE the cosine, so each
+    // candidate pays exactly one exact-cosine evaluation and one vector
+    // fetch per side
     val lhs = sigs.select(col("band"), col("sig"), col("vec_id").as("a"))
     val rhs = sigs.select(col("band"), col("sig"), col("vec_id").as("b"))
-    val candidates = lhs.join(rhs, Seq("band", "sig"))
+    val candidates = lhs.join(broadcast(rhs), Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     candidates
@@ -492,63 +578,74 @@ object DocOps {
       .agg(count(lit(1)).as("n_vectors")).orderBy("cell")
 
   /** Language-ID heuristic: stopword-list hit counts per candidate
-    * language; predicted = argmax (ties → lang asc). */
+    * language; predicted = argmax (ties → lang asc). Hit counts are
+    * row-local in-array filters (the lists are disjoint), the argmax is a
+    * greatest + CASE chain in lang order — no aggregation, no window, no
+    * join: a pure scan + orderBy (round 5 shuffled (doc, lang) hit rows
+    * into a groupBy + window + left join). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val stop = Map(
-      "en" -> Seq("the", "and", "for", "with"),
+    val stop = Seq( // lang asc — the CASE order IS the tie-break
       "de" -> Seq("der", "und", "die", "mit"),
-      "fr" -> Seq("les", "des", "une", "avec"),
-      "es" -> Seq("los", "las", "una", "con"))
-    val tok = tokens(documents(spark, dir))
-    // ONE scan of tokens (round-4 verdict item 5 killed the 4-scan union):
-    // a constant CASE chain maps each stopword to its language (the lists
-    // are disjoint), then a single map-side-combinable groupBy counts
-    // hits per (doc, lang) — no join, no extra scan, codegen'd end to end.
-    val langCol = stop.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
-      case (acc, (lang, words)) => when(col("term").isin(words: _*), lit(lang)).otherwise(acc)
+      "en" -> Seq("the", "and", "for", "with"),
+      "es" -> Seq("los", "las", "una", "con"),
+      "fr" -> Seq("les", "des", "une", "avec"))
+    val base = documents(spark, dir).select(col("doc_id"), tokArr.as("arr"))
+    val withHits = stop.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"h_$lang", size(filter(col("arr"), t => t.isin(words: _*))))
     }
-    val hits = tok.withColumn("lang", langCol)
-      .filter(col("lang").isNotNull)
-      .groupBy("doc_id", "lang").agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(desc("hits"), col("lang"))
-    val pred = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"), col("hits"))
-    documents(spark, dir).select("doc_id")
-      .join(pred, Seq("doc_id"), "left")
-      .na.fill("unk", Seq("pred_lang")).na.fill(0L, Seq("hits"))
+    val best = greatest(stop.map { case (lang, _) => col(s"h_$lang") }: _*)
+    val pred = stop.foldRight(lit("unk")) { case ((lang, _), acc) =>
+      when(col(s"h_$lang") === col("best"), lang).otherwise(acc)
+    }
+    withHits.withColumn("best", best)
+      .select(col("doc_id"),
+        when(col("best") > 0, pred).otherwise("unk").as("pred_lang"),
+        col("best").cast("bigint").as("hits"))
       .orderBy("doc_id")
   }
 
   /** Text-quality scoring: token count, distinct ratio, mean token length,
-    * stopword ratio, and a composite score. */
+    * stopword ratio, and a composite score. Every metric is row-local
+    * (integer sums over the doc's own token array, so values are exactly
+    * the round-5 aggregates): no explode, no groupBy, no join — one scan
+    * + orderBy instead of round 5's 4 exchanges. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val stopwords = Seq("the", "and", "for", "with", "los", "las", "der", "und", "les", "des")
-    val tok = tokens(documents(spark, dir))
-    val agg = tok.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("term")).as("n_distinct"),
-      round(avg(length(col("term"))), 6).as("mean_len"),
-      round(sum(when(col("term").isin(stopwords: _*), 1).otherwise(0)) / count(lit(1)).cast("double"), 6).as("stop_ratio"))
-    documents(spark, dir).select(col("doc_id"), col("n_chars"))
-      .join(agg, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_tokens", "n_distinct")).na.fill(0.0, Seq("mean_len", "stop_ratio"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), tokArr.as("arr"))
+      .withColumn("n_tokens", size(col("arr")).cast("bigint"))
+      .withColumn("n_distinct", size(array_distinct(col("arr"))).cast("bigint"))
+      .withColumn("mean_len",
+        when(col("n_tokens") === 0, 0.0).otherwise(
+          round(expr("aggregate(arr, 0L, (acc, t) -> acc + length(t))") / col("n_tokens"), 6)))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, 0.0).otherwise(
+          round(size(filter(col("arr"), t => t.isin(stopwords: _*))) / col("n_tokens").cast("double"), 6)))
       .withColumn("quality",
         round(least(lit(1.0), col("n_tokens") / 100.0) *
           (col("n_distinct") / greatest(col("n_tokens").cast("double"), lit(1.0))), 6))
+      .select("doc_id", "n_chars", "n_tokens", "n_distinct", "mean_len", "stop_ratio", "quality")
       .orderBy("doc_id")
   }
 
   /** Document fingerprint: md5 of the '|'-joined sorted distinct tokens —
-    * a canonical-content signature (token-order/whitespace invariant). */
+    * a canonical-content signature (token-order/whitespace invariant).
+    * Sort + dedup happen inside the row (array_sort ∘ array_distinct ==
+    * sort_array(collect_list) over distinct rows): no shuffle before the
+    * orderBy. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    tokens(documents(spark, dir)).distinct()
-      .groupBy("doc_id")
-      .agg(md5(concat_ws("|", sort_array(collect_list(col("term")))).cast("binary")).as("fp"))
+    documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(tokArr)).as("sarr"))
+      .filter(size(col("sarr")) >= 1)
+      .select(col("doc_id"),
+        md5(concat_ws("|", col("sarr")).cast("binary")).as("fp"))
       .orderBy("doc_id")
 
   /** Token counting (BPE-ish regex proxy): whitespace tokens vs subword
-    * chunks of ≤4 chars — the chunked count is Σ ceil(len/4). */
+    * chunks of ≤4 chars — the chunked count is Σ ceil(len/4). Kept as
+    * explode → groupBy: the row-local aggregate() fold was measured 2x
+    * slower at sf0.1 (per-token interpreted lambda vs the codegen'd
+    * map-side-combined aggregation). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     tokens(documents(spark, dir))
       .groupBy("doc_id").agg(

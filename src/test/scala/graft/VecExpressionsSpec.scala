@@ -114,4 +114,90 @@ class VecExpressionsSpec extends AnyFunSuite {
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
   }
+
+  // ── round-6 native expressions: BandSigs + SimHash16 ──
+
+  /** The exact round-5 composed-built-in band-sig chain BandSigs
+    * replaced, with the plane matrix as a literal (the md5 derivation
+    * duplicated here on purpose — the test fails if either side drifts). */
+  private def hofBandSigs(nPlanes: Int, bandSize: Int, dims: Int) = {
+    def weight(p: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((h(0) >> 4) & 0xf).toDouble - 7.5
+    }
+    val planes = (0 until nPlanes).map(p => (0 until dims).map(i => weight(p, i)))
+    val nBands = nPlanes / bandSize
+    expr(
+      s"""transform(sequence(0, ${nBands - 1}, 1), b ->
+         |  aggregate(transform(sequence(0, ${bandSize - 1}, 1), p ->
+         |    case when aggregate(zip_with(v, planes[b * $bandSize + p], (x, w) -> x * w),
+         |                        0D, (acc, x) -> acc + x) > 0
+         |         then cast(pow(2, p) as int) else 0 end),
+         |    0, (acc, x) -> acc + x))""".stripMargin) -> typedLit(planes)
+  }
+
+  test("BandSigs bit-identical to the round-5 aggregate/zip_with band chain") {
+    import spark.implicits._
+    val dims = 16
+    val df = vecDf // v has negatives, zeros, positives
+    for ((nPlanes, bandSize) <- Seq((8, 2), (8, 8), (4, 1))) {
+      val (hof, planes) = hofBandSigs(nPlanes, bandSize, dims)
+      val rows = df.withColumn("planes", planes)
+        .withColumn("native", VecExpressions.bandSigs(col("v"), nPlanes, bandSize))
+        .withColumn("hof", hof)
+        .select("id", "native", "hof")
+        .as[(Long, Seq[Int], Seq[Int])].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (id, a, b) =>
+        assert(a == b, s"id=$id planes=$nPlanes band=$bandSize: $a != $b")
+      }
+    }
+  }
+
+  test("BandSigs: plane weights memoized per dims; SQL surface registered") {
+    import spark.implicits._
+    val sigs = spark.sql(
+      "SELECT graft_band_sigs(array(1.0D, -2.0D, 0.5D), 4, 2) s")
+      .as[Seq[Int]].collect()(0)
+    assert(sigs.length == 2)
+    sigs.foreach(s => assert(s >= 0 && s < 4)) // 2 bits per band
+  }
+
+  /** Reference simhash over the 16-bit md5-prefix ints: the q21 oracle's
+    * nibble arithmetic, reimplemented longhand. */
+  private def refSimhash(vals: Seq[Int]): Long = {
+    val s = new Array[Int](16)
+    for (v <- vals; i <- 0 until 16) {
+      val nibble = (v >> (12 - 4 * (i / 4))) & 0xf
+      if ((nibble / math.pow(2, 3 - i % 4).toInt) % 2 == 1) s(i) += 1 else s(i) -= 1
+    }
+    (0 until 16).map(i => if (s(i) > 0) 1L << i else 0L).sum
+  }
+
+  test("SimHash16 matches the oracle nibble arithmetic (and the q21 wire form)") {
+    import spark.implicits._
+    val rows = (0 until 40).map { k =>
+      (k.toLong, (0 until (k % 7) + 1).map(j => (k * 131 + j * 7919) % 65536).toSeq)
+    }
+    val df = rows.toDF("id", "vals")
+      .withColumn("vals", col("vals").cast("array<int>"))
+      .withColumn("native", VecExpressions.simHash16(col("vals")))
+    val got = df.select("id", "native").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, vals) =>
+      assert(got(id) == refSimhash(vals.map(_.toInt)), s"id=$id")
+    }
+    // end-to-end: the exact q21 per-term int derivation (conv of the
+    // first 4 md5 hex digits) feeds the expression via SQL
+    val e2e = spark.sql(
+      """SELECT graft_simhash16(transform(array('alpha', 'beta', 'gamma'),
+        |  t -> cast(conv(substr(md5(cast(t as binary)), 1, 4), 16, 10) as int))) h""".stripMargin)
+      .as[Long].collect()(0)
+    def md516(t: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+    }
+    assert(e2e == refSimhash(Seq("alpha", "beta", "gamma").map(md516)))
+  }
 }
