@@ -42,8 +42,11 @@ object GraftCli {
           case aw :: Nil => CorpusGen.Config(nSites.toInt, perSite.toInt, avgWords = aw.toInt)
           case _ => CorpusGen.Config(nSites.toInt, perSite.toInt)
         }
-        graft.store.TableStore.open(spark, out)
-          .replace(CorpusGen.generate(spark, cfg).toDF, "")
+        // bucket-partitioned by pb = pmod(xxhash64(url), B) so the search
+        // presentation fetch prunes to the slice's buckets (round-6)
+        CorpusGen.writeBucketed(
+          graft.store.TableStore.open(spark, out),
+          CorpusGen.generate(spark, cfg).toDF)
         println(s"wrote ${cfg.nDocs} pages to $out")
 
       case "build" :: pagesDir :: indexDir :: rest =>

@@ -205,4 +205,68 @@ object CorpusGen {
         .when(pmod(xxhash64(col("url")), lit(29)) === 17, lit(308))
         .otherwise(lit(200)))
   }
+
+  // ── corpus page-bucket layout (round-6 optimization: presentation
+  //    point lookups) ──────────────────────────────────────────────────
+  //
+  // The search presentation path fetches html for a top-k url slice. An
+  // unpartitioned corpus makes that a scan of EVERY corpus file's footer
+  // (url min/max stats prune poorly — urls are uniformly scattered), an
+  // O(corpus-files) metadata cost per query at 10^12 docs (round-5
+  // verdict "What's wrong" #3). Writing the corpus partitioned by
+  // pb = pmod(xxhash64(url), buckets) — the same deterministic residue
+  // scheme as the docs dim's `db` — lets the engine prune a slice fetch
+  // to the slice's own bucket directories. The bucket count is persisted
+  // next to the data (`_corpus_meta`, underscore-prefixed so corpus
+  // readers never see it) because pruning with a GUESSED count would
+  // silently fetch nothing; engines fall back to the unpruned scan when
+  // the meta table is absent (pre-round-6 corpora keep working).
+
+  /** Meta-table name (underscore-prefixed: invisible to the root reads). */
+  val MetaTable = "_corpus_meta"
+
+  /** Default page-bucket count for CLI-generated corpora. Local-scale
+    * default; production picks buckets so each holds O(100) files. */
+  val DefaultPageBuckets = 16
+
+  /** Driver-side twin of the write-side column expression
+    * `pmod(xxhash64(url), buckets)` — MUST stay in lockstep with
+    * [[withPageBucket]] (pruning with a diverging hash would fetch the
+    * wrong buckets). */
+  def pageBucketOf(url: String, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(url),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** Append the page-bucket column. */
+  def withPageBucket(df: org.apache.spark.sql.DataFrame, buckets: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("pb", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+  }
+
+  /** Write a pages table bucket-partitioned by `pb` plus its
+    * `_corpus_meta` row. The pre-write repartition by pb keeps the file
+    * count at ~1 per bucket instead of tasks × buckets (the same
+    * small-files shape as the index dim writes). */
+  def writeBucketed(store: graft.store.TableStore, pages: org.apache.spark.sql.DataFrame,
+      buckets: Int = DefaultPageBuckets): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = pages.sparkSession
+    store.replace(
+      withPageBucket(pages, buckets).repartition(buckets, col("pb")),
+      "", partitionBy = Seq("pb"))
+    store.replace(
+      spark.range(1).select(lit(buckets).as("page_buckets")), MetaTable)
+  }
+
+  /** The persisted page-bucket count of a corpus dir, if bucketed. */
+  def pageBuckets(store: graft.store.TableStore): Option[Int] =
+    try {
+      if (store.exists(MetaTable))
+        Some(store.read(MetaTable).collect()(0)
+          .getAs[Number]("page_buckets").intValue())
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
