@@ -85,8 +85,70 @@ object BenchExtra {
           }
           val totals = (0 until rounds).map(i => names.map(n => times(n._1)(i)).sum)
           println(f"${"TOTAL"}%-24s ${totals.map(t => f"$t%7.3f").mkString(" ")}")
+        case "bigbuild" =>
+          // Order-of-magnitude validation tier (round-5 verdict item 5):
+          // build an index over a 4M-doc corpus (10x the largest measured
+          // tier) with the SAME salt threshold as the 400k bench tier
+          // (20000), so head-term dfs exceed it by ~100x and the salting
+          // path carries real weight; then record file counts and the
+          // bench-methodology warm/cold BM25 top-10 latency on the result.
+          // args: bigbuild <pagesDir> <idxDir>
+          val pagesDir = args.lift(1).getOrElse(sys.error("bigbuild <pagesDir> <idxDir>"))
+          val idxDir = args.lift(2).getOrElse(sys.error("bigbuild <pagesDir> <idxDir>"))
+          val cfg = graft.index.IndexBuild.Config(
+            shards = 8, saltThresholdDf = 20000L, nBatches = 1, buckets = 16)
+          val pages = spark.read.parquet(pagesDir)
+            .as[graft.corpus.PageRow](
+              org.apache.spark.sql.Encoders.product[graft.corpus.PageRow])
+          val nDocs = pages.count()
+          val t0 = System.nanoTime()
+          graft.index.IndexBuild.run(spark, pages, idxDir, cfg)
+          graft.index.IndexBuild.mergeSegments(spark, idxDir)
+          val buildS = (System.nanoTime() - t0) / 1e9
+          // file census per table (small-files health at the bigger tier)
+          def census(table: String): (Int, Long) = {
+            val root = java.nio.file.Paths.get(idxDir, table)
+            if (!java.nio.file.Files.exists(root)) (0, 0L)
+            else {
+              val s = java.nio.file.Files.walk(root)
+              try {
+                val files = s.filter(p => java.nio.file.Files.isRegularFile(p) &&
+                  p.getFileName.toString.endsWith(".parquet"))
+                  .toArray.map(_.asInstanceOf[java.nio.file.Path])
+                (files.length, files.map(java.nio.file.Files.size).sum)
+              } finally s.close()
+            }
+          }
+          val tables = Seq("index", "docs", "doc_terms", "lemma_stats")
+          val censusJson = tables.map { t =>
+            val (n, b) = census(t)
+            s""""$t":{"files":$n,"bytes":$b}"""
+          }.mkString(",")
+          val headTerms = spark.read.parquet(s"$idxDir/head_terms").count()
+          // latency, same methodology as the frozen bench's section 3:
+          // cold = first execution per fixture query (segment fetch jobs
+          // included), warm = 4 repeated rounds (posting-cache hits)
+          val engine = new graft.queryengine.SearchEngine(
+            spark, idxDir, pagesDir, graft.core.Bm25())
+          val qs = BenchQueries.queries
+          engine.topK(qs.head, 10) // JIT warm-up, not measured
+          def ms(f: => Unit): Double = {
+            val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e6
+          }
+          val cold = qs.tail.map(q => ms(engine.topK(q, 10))).sorted
+          val warm = (0 until 4).flatMap(_ =>
+            qs.map(q => ms(engine.topK(q, 10)))).sorted
+          println(
+            s"""{"tier":"4m","docs":$nDocs,"build_s":${f"$buildS%.1f"},""" +
+            s""""docs_per_sec":${f"${nDocs / buildS}%.1f"},"cpus":$cpus,""" +
+            s""""salt_threshold_df":20000,"head_terms":$headTerms,""" +
+            s""""tables":{$censusJson},""" +
+            s""""bm25_cold_p50_ms":${f"${cold(cold.size / 2)}%.1f"},""" +
+            s""""bm25_cold_max_ms":${f"${cold.last}%.1f"},""" +
+            s""""bm25_warm_p50_ms":${f"${warm(warm.size / 2)}%.1f"},""" +
+            s""""bm25_warm_p95_ms":${f"${warm(math.min(warm.size - 1, (warm.size * 0.95).toInt))}%.1f"}}""")
         case other =>
-          System.err.println(s"unknown mode: $other (plans|time)")
+          System.err.println(s"unknown mode: $other (plans|time|bigbuild)")
       }
     } finally spark.stop()
   }
