@@ -97,7 +97,7 @@ object BenchExtra {
           val idxDir = args.lift(2).getOrElse(sys.error("bigbuild <pagesDir> <idxDir>"))
           val cfg = graft.index.IndexBuild.Config(
             shards = 8, saltThresholdDf = 20000L, nBatches = 1, buckets = 16)
-          val pages = spark.read.parquet(pagesDir)
+          val pages = graft.store.TableStore.open(spark, pagesDir).read("")
             .as[graft.corpus.PageRow](
               org.apache.spark.sql.Encoders.product[graft.corpus.PageRow])
           val nDocs = pages.count()
@@ -124,7 +124,8 @@ object BenchExtra {
             val (n, b) = census(t)
             s""""$t":{"files":$n,"bytes":$b}"""
           }.mkString(",")
-          val headTerms = spark.read.parquet(s"$idxDir/head_terms").count()
+          val headTerms = graft.store.TableStore.open(spark, idxDir)
+            .read("head_terms").count()
           // latency, same methodology as the frozen bench's section 3:
           // cold = first execution per fixture query (segment fetch jobs
           // included), warm = 4 repeated rounds (posting-cache hits)

@@ -263,11 +263,12 @@ object DocOps {
     documents(spark, dir).groupBy("source")
       .agg(count(lit(1)).as("pages")).orderBy("source")
 
-  /** A8 — lemma (term) counts per site. Tokens are deduplicated in-row
-    * first, so the distinct-count aggregation sees (doc, term)-unique
-    * rows instead of every occurrence. */
+  /** A8 — lemma (term) counts per site. Kept in explode form: the
+    * distinct aggregation's partial phase already dedupes (source, term)
+    * map-side, so in-row array_distinct only adds per-row cost without
+    * shrinking the shuffle (measured ~0.15 s slower at sf0.1). */
   def statsLemmas(spark: SparkSession, dir: String): DataFrame =
-    distinctTokens(documents(spark, dir), col("source"))
+    tokens(documents(spark, dir), col("source"))
       .groupBy("source").agg(countDistinct(col("term")).as("lemmas"))
       .orderBy("source")
 
