@@ -72,19 +72,24 @@ object BenchExtra {
             names.foreach { case (name, fn) =>
               spark.sparkContext.setJobDescription(s"time:$name:r$r")
               val t0 = System.nanoTime()
+              var failed = false
               try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
               catch { case scala.util.control.NonFatal(e) =>
+                failed = true
                 System.err.println(s"[extra] $name FAILED: ${e.getMessage}") }
-              val sec = (System.nanoTime() - t0) / 1e9
+              // a failed query must not masquerade as a fast success in
+              // the table or the TOTAL — record NaN and render FAIL
+              val sec = if (failed) Double.NaN else (System.nanoTime() - t0) / 1e9
               times(name) = times.getOrElse(name, Nil) :+ sec
             }
           }
+          def cell(t: Double): String = if (t.isNaN) f"${"FAIL"}%7s" else f"$t%7.3f"
           println(f"${"query"}%-24s ${(1 to rounds).map(r => f"r$r%7s").mkString(" ")}")
           names.foreach { case (name, _) =>
-            println(f"$name%-24s ${times(name).map(t => f"$t%7.3f").mkString(" ")}")
+            println(f"$name%-24s ${times(name).map(cell).mkString(" ")}")
           }
           val totals = (0 until rounds).map(i => names.map(n => times(n._1)(i)).sum)
-          println(f"${"TOTAL"}%-24s ${totals.map(t => f"$t%7.3f").mkString(" ")}")
+          println(f"${"TOTAL"}%-24s ${totals.map(cell).mkString(" ")}")
         case "bigbuild" =>
           // Order-of-magnitude validation tier (round-5 verdict item 5):
           // build an index over a 4M-doc corpus (10x the largest measured

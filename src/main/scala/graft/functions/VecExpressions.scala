@@ -308,15 +308,19 @@ object VecExpressions {
     SimHash16(args(0))
   }
 
+  /** The three (identifier, info, builder) registrations — one source of
+    * truth for both the runtime registry and the extension injection. */
+  private[functions] val injectable
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder _),
+    (FunctionIdentifier("graft_band_sigs"), bandSigsInfo, bandSigsBuilder _),
+    (FunctionIdentifier("graft_simhash16"), simHashInfo, simHashBuilder _))
+
   /** Runtime registration: `SELECT graft_cosine(v, q)` etc. in the session. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_band_sigs"), bandSigsInfo, bandSigsBuilder _)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_simhash16"), simHashInfo, simHashBuilder _)
-  }
+  def register(spark: SparkSession): Unit =
+    injectable.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** `spark.sql.extensions`-style injection
@@ -325,28 +329,9 @@ object VecExpressions {
   * available in every session of the application, including SQL-only
   * clients, without driver code. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (FunctionIdentifier("graft_cosine"),
-        new ExpressionInfo(classOf[CosineSim].getCanonicalName, "graft_cosine"),
-        (args: Seq[Expression]) => {
-          require(args.length == 2, s"graft_cosine takes 2 arguments, got ${args.length}")
-          CosineSim(args(0), args(1))
-        }))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_band_sigs"),
-        new ExpressionInfo(classOf[BandSigs].getCanonicalName, "graft_band_sigs"),
-        (args: Seq[Expression]) => {
-          require(args.length == 3, s"graft_band_sigs takes 3 arguments, got ${args.length}")
-          def i(e: Expression): Int = e.eval().asInstanceOf[Int]
-          BandSigs(args(0), i(args(1)), i(args(2)))
-        }))
-    ext.injectFunction(
-      (FunctionIdentifier("graft_simhash16"),
-        new ExpressionInfo(classOf[SimHash16].getCanonicalName, "graft_simhash16"),
-        (args: Seq[Expression]) => {
-          require(args.length == 1, s"graft_simhash16 takes 1 argument, got ${args.length}")
-          SimHash16(args(0))
-        }))
-  }
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    // one builder per function, SHARED with the runtime registry
+    // (VecExpressions.register) so argument validation/messages can
+    // never diverge between the two registration paths
+    VecExpressions.injectable.foreach(ext.injectFunction)
 }

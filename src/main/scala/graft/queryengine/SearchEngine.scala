@@ -775,11 +775,22 @@ final class SearchEngine(
     * presentation fetch prunes to the slice's bucket DIRECTORIES instead
     * of scanning every corpus file's footer — O(slice buckets) instead
     * of O(corpus files) metadata per query (round-5 verdict "What's
-    * wrong" #3). Resolved once per engine (a corpus is not re-laid-out
-    * under a live engine; absent meta → unpruned scan, so pre-round-6
-    * corpora keep working). */
-  private lazy val corpusPageBuckets: Option[Int] =
-    graft.corpus.CorpusGen.pageBuckets(corpus)
+    * wrong" #3). Cached per engine; absent meta → unpruned scan, so
+    * pre-round-6 corpora keep working. A corpus REGENERATED with a
+    * different bucket count under a live engine is caught by the
+    * shortfall fallback in [[presentItems]]: a stale B maps urls to the
+    * wrong dirs, the pruned fetch comes up short, and the fetch is
+    * retried unpruned with the cached count dropped — correctness never
+    * depends on the cached B. */
+  @volatile private var corpusPageBucketsCache: Option[Option[Int]] = None
+  private def corpusPageBuckets: Option[Int] =
+    corpusPageBucketsCache match {
+      case Some(b) => b
+      case None =>
+        val b = graft.corpus.CorpusGen.pageBuckets(corpus)
+        corpusPageBucketsCache = Some(b)
+        b
+    }
 
   /** The slice-fetch DataFrame, bucket-pruned when the corpus layout
     * allows (package-visible so the spec can assert the plan prunes). */
@@ -801,8 +812,18 @@ final class SearchEngine(
       queryLemmas: Seq[String]): Seq[SearchItem] = {
     val htmlByUrl: Map[String, Array[Byte]] =
       if (slice.isEmpty) Map.empty
-      else presentFetch(slice.map(_.url))
-        .as[(String, Array[Byte])].collect().toMap
+      else {
+        val urls = slice.map(_.url)
+        val pruned = presentFetch(urls).as[(String, Array[Byte])].collect().toMap
+        // shortfall under pruning ⇒ the cached bucket count may be stale
+        // (corpus re-laid-out under a live engine): drop the cache and
+        // retry unpruned
+        if (pruned.size < urls.distinct.size && corpusPageBuckets.nonEmpty) {
+          corpusPageBucketsCache = None
+          corpus.read("").filter(col("url").isin(urls: _*))
+            .select("url", "html").as[(String, Array[Byte])].collect().toMap
+        } else pruned
+      }
     val qSet = queryLemmas.toSet
     slice.map { h =>
       val html = htmlByUrl.get(h.url).map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).getOrElse("")
