@@ -577,20 +577,38 @@ object DocOps {
     * hyperplane LSH above): deterministic centroids = the embeddings of
     * vec_id 0..15 (no k-means iterations — reproducible across engines),
     * every vector assigned to its max-cosine cell. Query-side probing
-    * searches only the query's cell. */
+    * searches only the query's cell.
+    *
+    * The argmax is ROW-LOCAL: the nCells centroid vectors (a bounded,
+    * deterministic set) are collected once to the driver and become plan
+    * literals, so each vector's cell is `greatest` over nCells
+    * (cos, -cell) structs — max cosine, ties to the LOWEST cell, exactly
+    * the oracle's row_number() ORDER BY cos DESC, cell. Round 5 (and the
+    * first round-6 form) instead cross-joined every vector against the
+    * broadcast centroids (nCells× row inflation) and ranked with a
+    * window — a full exchange of the inflated rows that this removes
+    * (guide §2.4); at 10^12 vectors that exchange carried 16 rows per
+    * vector. Cosines are the same native codegen'd expression either
+    * way, so assignments are bit-identical. */
   def annIvfCells(spark: SparkSession, dir: String, nCells: Int = 16): DataFrame = {
+    import spark.implicits._
     withCosine(spark)
     val emb = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cell"))
-    emb.crossJoin(broadcast(cents))
-      .withColumn("cos", round(
-        graft.functions.VecExpressions.cosineSim(col("v"), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
+    // bounded driver collect: nCells rows (the same size class as the
+    // broadcast side it replaces)
+    val cents: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") < nCells)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    if (cents.isEmpty) return Seq.empty[(Long, Long)].toDF("vec_id", "cell")
+    val candidates = cents.map { case (cell, cv) =>
+      struct(
+        round(graft.functions.VecExpressions.cosineSim(col("v"), typedlit(cv)), 6)
+          .as("cos"),
+        lit(-cell).as("negcell"))
+    }
+    val best =
+      if (candidates.size == 1) candidates.head else greatest(candidates: _*)
+    emb.select(col("vec_id"), (-best.getField("negcell")).as("cell"))
       .orderBy("vec_id")
   }
 
